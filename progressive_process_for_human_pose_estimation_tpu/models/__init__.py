@@ -1,0 +1,103 @@
+"""Model zoo + preset registry.
+
+Each preset corresponds to a reference experiment script (the reference's
+per-script copy-paste evolution becomes configuration here; BASELINE.json's
+five configs map onto these presets).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax.numpy as jnp
+
+from .classic import ClassicStackedHourglass  # noqa: F401
+from .progressive import (  # noqa: F401
+    MaskNet,
+    ProgressiveHourglass,
+    StageSequentialProgressive,
+    Stem,
+)
+from .recursive import (  # noqa: F401
+    COCO_SKELETON,
+    MPII_SKELETON,
+    RefinerD,
+    StackedHourglass,
+)
+
+# Reference channel constants (/root/reference/train.py:42-48).
+N_KEYPOINT_COCO = 17
+N_SKELETON_COCO = 19
+N_KEYPOINT_MPII = 16
+N_SKELETON_MPII = 15
+
+
+def _presets() -> Dict[str, Callable[..., Any]]:
+    return {
+        # Final progressive model, MPII config (/root/reference/train.py:545-601).
+        "progressive_mpii": lambda **kw: ProgressiveHourglass(
+            out_channels=(2, N_SKELETON_MPII + 1, N_KEYPOINT_MPII + 1), **kw
+        ),
+        # Final progressive model, COCO config (try_with_aspp_remove_max_pool /
+        # try_costomer_loss lineage; nOutChannels = 2/20/18).
+        "progressive_coco": lambda **kw: ProgressiveHourglass(
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1), **kw
+        ),
+        # BASELINE config 2: 2-stack progressive with intermediate supervision
+        # (/root/reference/try_different_stack_without_skeleton.py:26-30).
+        "progressive_2stage": lambda **kw: ProgressiveHourglass(
+            out_channels=(2, N_KEYPOINT_COCO), **kw
+        ),
+        # Hard input-masking ablation
+        # (/root/reference/try_remove_background_and_costomer_loss.py:314-360).
+        "stage_sequential": lambda **kw: StageSequentialProgressive(
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1), **kw
+        ),
+        # Classic Newell 4-stack baseline
+        # (/root/reference/hourglass_compare.py:546-638).
+        "classic_baseline": lambda **kw: ClassicStackedHourglass(
+            n_stack=4, out_channels=N_KEYPOINT_MPII, **kw
+        ),
+        # BASELINE config 1: single-stack hourglass, MPII 16-joint
+        # (/root/reference/only_one_hourgless.py:215-254).
+        "only_one_hourglass": lambda **kw: StackedHourglass(
+            n_stack=1, out_channels=N_KEYPOINT_MPII, **kw
+        ),
+        # 4-stack recursive hourglass with COCO Gaussian heads
+        # (/root/reference/try_with_torch.py:246-298).
+        "recursive_4stack_coco": lambda **kw: StackedHourglass(
+            n_stack=4, out_channels=N_KEYPOINT_COCO, **kw
+        ),
+        # BASELINE config 3 + headline bench model: 8-stack hourglass with the
+        # joint 38-ch skeleton+keypoint merged output
+        # (/root/reference/try_skeleton_and_keypoints.py:270-298, scaled to 8
+        # stacks per BASELINE.json).
+        "hourglass8_skeleton": lambda **kw: StackedHourglass(
+            n_stack=8,
+            out_channels=38,
+            variant="skeleton_merge",
+            skeleton=COCO_SKELETON,
+            **kw,
+        ),
+        # Derived-skeleton variant
+        # (/root/reference/try_skeleton_from_keypoints.py:265-283).
+        "skeleton_from_keypoints": lambda **kw: StackedHourglass(
+            n_stack=4,
+            out_channels=N_KEYPOINT_COCO + 1,
+            variant="skeleton_from_keypoints",
+            skeleton=COCO_SKELETON,
+            **kw,
+        ),
+        # Person/background mask network (/root/reference/train.py:604-622).
+        "masknet": lambda **kw: MaskNet(**kw),
+    }
+
+
+PRESETS = _presets()
+
+
+def build_model(name: str, *, dtype=jnp.bfloat16, param_dtype=jnp.float32, **overrides):
+    """Instantiate a preset model. Extra kwargs override module attributes."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown model preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name](dtype=dtype, param_dtype=param_dtype, **overrides)

@@ -1,0 +1,202 @@
+"""Recursive weight-shared stacked hourglass family, NHWC.
+
+Rebuilds the ``creatModel``/``creatModelD`` family of the try_* scripts
+(/root/reference/only_one_hourgless.py:215-283,
+/root/reference/try_with_torch.py:246-298). Distinctive reference behaviour
+kept here: ONE hourglass / residual / lin / head instance is reused
+(weight-shared) across all stacks and, inside the hourglass, across all
+levels and module repetitions (only_one_hourgless.py:224-253) —
+``share_weights=False`` gives the conventional unshared network
+(/root/reference/model.py:93-119 Keras version).
+
+``variant`` selects the cross-channel output arithmetic the later scripts
+experimented with:
+
+- ``'plain'`` — per-stack heatmap/class-map output.
+- ``'skeleton_from_keypoints'`` — skeleton channels *derived*, not learned:
+  ``sk[e] = kp[sks[e,0]+1] + kp[sks[e,1]+1]`` appended to the output; only
+  the keypoint half feeds the return conv
+  (/root/reference/try_skeleton_from_keypoints.py:274-283).
+- ``'skeleton_merge'`` — joint 38-ch output with in-place cross-channel
+  merge: ``out[19:] += kp[sks[:,0]] + kp[sks[:,1]] - out[0]``; the merged
+  tensor feeds the return conv AND is what the losses see (torch in-place
+  semantics, /root/reference/try_skeleton_and_keypoints.py:270-298).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.blocks import Conv, ConvBNReLU, ResidualBlockLite
+from ..ops.hourglass import RecursiveHourglass
+from ..ops.resize import max_pool_2x2
+
+# COCO 19-edge skeleton, 0-based endpoints (pycocotools 'skeleton' minus 1;
+# /root/reference/try_with_torch.py:52-70).
+COCO_SKELETON = np.array(
+    [
+        [15, 13], [13, 11], [16, 14], [14, 12], [11, 12], [5, 11], [6, 12],
+        [5, 6], [5, 7], [6, 8], [7, 9], [8, 10], [1, 2], [0, 1], [0, 2],
+        [1, 3], [2, 4], [3, 5], [4, 6],
+    ],
+    dtype=np.int32,
+)
+
+# MPII 15-edge skeleton (/root/reference/train.py:82-97).
+MPII_SKELETON = np.array(
+    [
+        [0, 1], [1, 2], [2, 6], [6, 3], [3, 4], [4, 5], [6, 7], [7, 8],
+        [8, 9], [10, 11], [11, 12], [12, 8], [8, 13], [13, 14], [14, 15],
+    ],
+    dtype=np.int32,
+)
+
+
+class StackedHourglass(nn.Module):
+    """Recursive stacked hourglass (/root/reference/only_one_hourgless.py:215-254).
+
+    Stem: conv7x7/2 → ReLU → ResidualLite(128) → maxpool → ResidualLite(128)
+    → ResidualLite(f). Per stack: hourglass → n_modules residuals → lin →
+    biased 1x1 head; return ``inter = 1x1(ll) + 1x1(head_out)``.
+    """
+
+    features: int = 256
+    n_stack: int = 1
+    out_channels: int = 17
+    n_modules: int = 2
+    hourglass_depth: int = 4
+    share_weights: bool = True
+    variant: str = "plain"
+    skeleton: Optional[np.ndarray] = None  # (E, 2) edge endpoints, 0-based
+    use_running_average: bool = False
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(
+            use_running_average=self.use_running_average,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        ckw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        f = self.features
+
+        y = Conv(64, 7, 2, 3, name="conv1", **ckw)(x)
+        y = nn.relu(y)
+        y = ResidualBlockLite(128, name="residual1", **kw)(y)
+        y = max_pool_2x2(y)
+        y = ResidualBlockLite(128, name="residual2", **kw)(y)
+        inter = ResidualBlockLite(f, name="residual3", **kw)(y)
+
+        if self.share_weights:
+            hourglass = RecursiveHourglass(
+                f, self.hourglass_depth, self.n_modules, share_weights=True,
+                name="hourglass1", **kw,
+            )
+            residual4 = ResidualBlockLite(f, name="residual4", **kw)
+            lin = ConvBNReLU(f, 1, name="lin", **kw)
+            head = Conv(self.out_channels, 1, 1, 0, name="conv2", **ckw)
+            ret_ll = Conv(f, 1, 1, 0, name="conv3", **ckw)
+            ret_out = Conv(f, 1, 1, 0, name="conv4", **ckw)
+            stack_mods = [(hourglass, residual4, lin, head, ret_ll, ret_out)] * self.n_stack
+        else:
+            stack_mods = [
+                (
+                    RecursiveHourglass(
+                        f, self.hourglass_depth, self.n_modules, share_weights=False,
+                        name=f"hourglass_{i}", **kw,
+                    ),
+                    ResidualBlockLite(f, name=f"residual4_{i}", **kw),
+                    ConvBNReLU(f, 1, name=f"lin_{i}", **kw),
+                    Conv(self.out_channels, 1, 1, 0, name=f"conv2_{i}", **ckw),
+                    Conv(f, 1, 1, 0, name=f"conv3_{i}", **ckw),
+                    Conv(f, 1, 1, 0, name=f"conv4_{i}", **ckw),
+                )
+                for i in range(self.n_stack)
+            ]
+
+        sks = self.skeleton if self.skeleton is not None else COCO_SKELETON
+        outs = []
+        for i, (hg_m, res_m, lin_m, head_m, ret_ll_m, ret_out_m) in enumerate(stack_mods):
+            ll = hg_m(inter)
+            for _ in range(self.n_modules):
+                ll = res_m(ll)
+            ll = lin_m(ll)
+            head_out = head_m(ll)
+
+            if self.variant == "plain":
+                stack_out, return_feed = head_out, head_out
+            elif self.variant == "skeleton_from_keypoints":
+                kp = head_out  # (N, H, W, nKeypoint+1); channel 0 = background
+                sk = kp[..., sks[:, 0] + 1] + kp[..., sks[:, 1] + 1]
+                stack_out = jnp.concatenate([kp, sk], axis=-1)
+                return_feed = kp
+            elif self.variant == "skeleton_merge":
+                # out[..., base:] = out[..., base:] - out[..., 0:1]
+                #                   + out[..., sks[:,0]] + out[..., sks[:,1]]
+                # where base = 19 in the reference 38-ch config (out_channels
+                # minus the number of skeleton edges).
+                base = self.out_channels - len(sks)
+                sk_part = (
+                    head_out[..., base:]
+                    - head_out[..., 0:1]
+                    + head_out[..., sks[:, 0]]
+                    + head_out[..., sks[:, 1]]
+                )
+                stack_out = jnp.concatenate([head_out[..., :base], sk_part], axis=-1)
+                return_feed = stack_out
+            else:
+                raise ValueError(f"unknown variant {self.variant!r}")
+
+            outs.append(stack_out)
+            if i < self.n_stack - 1:
+                inter = ret_ll_m(ll) + ret_out_m(return_feed)
+        return outs
+
+
+class RefinerD(nn.Module):
+    """``creatModelD`` (/root/reference/only_one_hourgless.py:257-283): a
+    64x64 refinement hourglass whose input is the concatenation of predicted
+    heatmaps and the (downsampled) image, producing refined heatmaps.
+    """
+
+    features: int = 256
+    out_channels: int = 17
+    n_modules: int = 2
+    hourglass_depth: int = 4
+    use_running_average: bool = False
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(
+            use_running_average=self.use_running_average,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        ckw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        f = self.features
+
+        y = Conv(64, 3, 1, 1, name="conv1", **ckw)(x)
+        y = nn.relu(y)
+        y = ResidualBlockLite(128, name="residual1", **kw)(y)
+        y = ResidualBlockLite(128, name="residual2", **kw)(y)
+        y = ResidualBlockLite(f, name="residual3", **kw)(y)
+        y = RecursiveHourglass(
+            f, self.hourglass_depth, self.n_modules, share_weights=True, name="hourglass", **kw
+        )(y)
+        res = ResidualBlockLite(f, name="residual4", **kw)
+        for _ in range(self.n_modules):
+            y = res(y)
+        y = ConvBNReLU(f, 1, name="lin", **kw)(y)
+        return Conv(self.out_channels, 1, 1, 0, name="conv2", **ckw)(y)
