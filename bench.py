@@ -1,0 +1,73 @@
+"""Headline benchmark: images/sec/chip, 8-stack hourglass, 256x256, bf16.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The
+baseline target is 5,000 images/sec/chip on TPU v5e (BASELINE.md).
+
+Methodology: the remote-TPU tunnel makes ``block_until_ready`` unreliable
+and adds tens of ms of dispatch latency per call, so the model is iterated
+N times inside a single jitted ``lax.fori_loop`` (input perturbed each
+iteration to defeat CSE) ending in a scalar readback that forces real
+execution; per-iteration time comes from differencing two N values, which
+cancels the fixed dispatch+readback overhead. This replaces the reference's
+manual latency loop (/root/reference/hourglass_compare.py:1263-1273).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timed_throughput(apply_fn, x, batch: int, n_lo: int = 2, n_hi: int = 12):
+    def chained(n):
+        @jax.jit
+        def f(x):
+            def body(i, carry):
+                x, acc = carry
+                outs = apply_fn(x + i.astype(x.dtype) * 1e-6)
+                out = outs[-1] if isinstance(outs, (list, tuple)) else outs
+                return x, acc + jnp.sum(out.astype(jnp.float32))
+
+            _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+            return acc
+
+        return f
+
+    results = {}
+    for n in (n_lo, n_hi):
+        f = chained(n)
+        float(f(x))  # compile + warmup (forces execution via scalar readback)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(x))
+            ts.append(time.perf_counter() - t0)
+        results[n] = min(ts)
+    dt_iter = (results[n_hi] - results[n_lo]) / (n_hi - n_lo)
+    return batch / dt_iter, dt_iter
+
+
+def main():
+    from progressive_process_for_human_pose_estimation_tpu.models import build_model
+
+    batch = 64
+    model = build_model("hourglass8_skeleton", use_running_average=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    ips, dt_iter = timed_throughput(lambda xx: model.apply(variables, xx), x, batch)
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip, 8-stack hourglass, 256x256, bf16",
+                "value": round(ips, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / 5000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

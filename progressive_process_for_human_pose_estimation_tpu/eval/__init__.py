@@ -1,0 +1,2 @@
+from .decode import argmax_decode, local_max_nms, normalized_peak_decode  # noqa: F401
+from .pckh import PCKH_THRESHOLDS, PCKhResult, pckh_curve, pckh_simple  # noqa: F401

@@ -1,0 +1,9 @@
+from .checkpoint import (  # noqa: F401
+    maybe_resume,
+    restore_checkpoint,
+    save_checkpoint,
+    shape_filtered_restore,
+)
+from .loop import fit_epoch, make_eval_step, make_train_step  # noqa: F401
+from .objectives import OBJECTIVES  # noqa: F401
+from .state import TrainState, create_train_state, make_optimizer  # noqa: F401

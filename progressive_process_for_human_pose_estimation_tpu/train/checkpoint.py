@@ -1,0 +1,104 @@
+"""Checkpointing with shape-filtered fine-tune restore.
+
+Reference semantics (SURVEY.md §5): per-epoch ``torch.save({'epoch',
+'state_dict', 'optimizer'})`` to an experiment-named file
+(/root/reference/train.py:982-987); resume restores optimizer + epoch
+(train.py:868-872); ``retrain`` forces a fresh start (train.py:853);
+**fine-tune** copies only the donor tensors whose shapes match the target
+model (train.py:856-867) — how the MPII model was warm-started from COCO.
+
+TPU-native equivalents here via orbax: async-capable save of the TrainState
+pytree, plus :func:`shape_filtered_restore` for the fine-tune workflow.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Save {epoch, step, params, batch_stats, opt_state} (train.py:982-987)."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "epoch": state.epoch,
+                "step": state.step,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+            },
+            force=True,
+        )
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Full resume: params + optimizer + epoch counter (train.py:868-872)."""
+    path = os.path.abspath(path)
+    template = {
+        "epoch": state.epoch,
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, template)
+    return state.replace(
+        epoch=restored["epoch"],
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def load_checkpoint_raw(path: str) -> Any:
+    """Load a checkpoint as plain arrays without a shape template — needed
+    for fine-tune restores where the donor's head shapes differ from the
+    target model's (train.py:856-867)."""
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
+def shape_filtered_restore(donor: Any, target: Any) -> Any:
+    """Copy donor leaves into target wherever path AND shape match
+    (/root/reference/train.py:856-867). Leaves missing from the donor or
+    with mismatched shapes keep the target's (fresh) values — this is the
+    reference's fine-tune warm start across head-size changes."""
+    donor_flat = dict(jax.tree_util.tree_flatten_with_path(donor)[0])
+    target_flat, treedef = jax.tree_util.tree_flatten_with_path(target)
+    out = []
+    for path, leaf in target_flat:
+        d = donor_flat.get(path)
+        if d is not None and np.shape(d) == np.shape(leaf):
+            out.append(d)
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def maybe_resume(
+    path: str, state: TrainState, retrain: bool = False, fine_tune: bool = False
+) -> TrainState:
+    """The reference's resume decision tree (train.py:853-872):
+    retrain/missing file -> fresh; fine_tune -> shape-filtered params only,
+    epoch 0; else full restore."""
+    if retrain or not os.path.exists(path):
+        return state
+    if fine_tune:
+        raw = load_checkpoint_raw(path)
+        return state.replace(
+            params=shape_filtered_restore(raw["params"], state.params),
+            batch_stats=shape_filtered_restore(raw["batch_stats"], state.batch_stats),
+        )
+    return restore_checkpoint(path, state)

@@ -1,0 +1,107 @@
+"""The single train/eval step, jit-compiled and mesh-sharded.
+
+Replaces the reference's per-script training loops (canonical:
+/root/reference/train.py:874-987). One functional step: forward (bf16),
+loss, grad, Adam update, BatchNorm running-stat update — all inside one XLA
+program; the batch is sharded over the mesh's ``data`` axis and XLA inserts
+the gradient all-reduce over ICI. Loss NaN-guarding (the reference's manual
+``math.isnan`` print, /root/reference/try_skeleton_and_keypoints.py:436-437)
+is an optional ``jnp.isfinite`` check returned in metrics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from .state import TrainState
+
+
+def make_train_step(
+    model,
+    objective: Callable,
+    donate: bool = True,
+    check_finite: bool = True,
+):
+    """Build the jit-compiled train step.
+
+    Args:
+      model: a flax module whose __call__ returns a list of NHWC logits (or
+        a single array for MaskNet-style models).
+      objective: (outputs, batch, epoch) -> (loss, metrics dict).
+    Returns:
+      step(state, batch) -> (state, metrics). `batch` is a dict with key
+      'image' plus whatever targets the objective reads.
+    """
+
+    def loss_fn(params, batch_stats, batch, epoch):
+        outputs, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"],
+            mutable=["batch_stats"],
+        )
+        if not isinstance(outputs, (list, tuple)):
+            outputs = [outputs]
+        outputs = [o.astype(jnp.float32) for o in outputs]
+        loss, metrics = objective(outputs, batch, epoch)
+        return loss, (metrics, updates["batch_stats"])
+
+    def step(state: TrainState, batch):
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, state.epoch)
+        if check_finite:
+            metrics["finite"] = jnp.isfinite(loss)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(eval_model):
+    """Forward-only step (eval mode: BatchNorm running averages).
+
+    Matches the reference's test path (/root/reference/train.py:991):
+    ``model.eval()`` + softmax consumers downstream. ``eval_model`` must be
+    constructed with ``use_running_average=True`` (module attribute); its
+    parameters are shared with the training instance by passing the same
+    variables.
+    """
+
+    def step(params, batch_stats, images):
+        outputs = eval_model.apply(
+            {"params": params, "batch_stats": batch_stats}, images
+        )
+        if not isinstance(outputs, (list, tuple)):
+            outputs = [outputs]
+        return [o.astype(jnp.float32) for o in outputs]
+
+    return jax.jit(step)
+
+
+def fit_epoch(
+    train_step,
+    state: TrainState,
+    batches,
+    mesh=None,
+    log_every: int = 50,
+    log_fn: Optional[Callable] = None,
+):
+    """Run one epoch over an iterable of host batches.
+
+    Mirrors the reference loop cadence: metrics surfaced every ``log_every``
+    steps (/root/reference/train.py:900-914).
+    """
+    metrics = None
+    for i, batch in enumerate(batches):
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        state, metrics = train_step(state, batch)
+        if log_fn is not None and i % log_every == 0:
+            log_fn(i, jax.device_get(metrics))
+    state = state.replace(epoch=state.epoch + 1)
+    return state, metrics

@@ -1,0 +1,110 @@
+"""Per-preset training objectives — the reference's loss wirings as pure fns.
+
+Each objective maps ``(outputs, batch, epoch) -> (total_loss, metrics)``
+where ``outputs`` is the model's list of per-stage NHWC logits and ``batch``
+a dict of targets. Wirings covered (one per reference experiment family):
+
+- :func:`progressive_objective` — the final model's loss
+  (/root/reference/train.py:887-890): annealed OHEM-CE + plain CE on the
+  skeleton stage and the keypoint stage; the stage-1 background loss is kept
+  available but OFF by default (the reference commented it out,
+  train.py:886-889).
+- :func:`classic_mse_objective` — per-stack MSE on Gaussian maps
+  (/root/reference/hourglass_compare.py:936-941, try_with_torch.py:333-341).
+- :func:`single_stack_ce_objective` — CE on the one output
+  (/root/reference/only_one_hourgless.py:366-374).
+- :func:`split_channel_objective` — dual CE over keypoint/skeleton channel
+  split on every stack (/root/reference/try_skeleton_and_keypoints.py:423-435).
+- :func:`masked_objective` — predicted-mask-weighted CE/MSE
+  (/root/reference/try_remove_background_and_costomer_loss.py:419-421).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import (
+    ce_loss,
+    combined_ohem_ce_loss,
+    masked_ce_loss,
+    masked_mse_loss,
+    mse_loss,
+    split_channel_ce_loss,
+)
+
+
+def progressive_objective(
+    outputs: List[jax.Array],
+    batch: Dict[str, jax.Array],
+    epoch: jax.Array,
+    include_background: bool = False,
+    ohem_floor: float = 0.1,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """train.py's objective: fraction = (100 - epoch)/100, floored."""
+    fraction = (100.0 - epoch.astype(jnp.float32)) / 100.0
+    loss_2 = combined_ohem_ce_loss(outputs[1], batch["skeleton_map"], fraction, ohem_floor)
+    loss_3 = combined_ohem_ce_loss(outputs[2], batch["keypoint_map"], fraction, ohem_floor)
+    metrics = {"loss_2": loss_2, "loss_3": loss_3}
+    total = loss_2 + loss_3
+    if include_background:
+        loss_1 = combined_ohem_ce_loss(
+            outputs[0], batch["background_map"], fraction, ohem_floor
+        )
+        metrics["loss_1"] = loss_1
+        total = total + loss_1
+    metrics["loss"] = total
+    return total, metrics
+
+
+def classic_mse_objective(outputs, batch, epoch):
+    """Per-stack MSE vs Gaussian heatmaps (hourglass_compare.py:936-941)."""
+    losses = [mse_loss(o, batch["gauss_maps"]) for o in outputs]
+    total = sum(losses)
+    metrics = {f"loss_stack{i}": l for i, l in enumerate(losses)}
+    metrics["loss"] = total
+    return total, metrics
+
+
+def single_stack_ce_objective(outputs, batch, epoch):
+    """CE on the single stack output (only_one_hourgless.py:370)."""
+    total = ce_loss(outputs[0], batch["keypoint_map"])
+    return total, {"loss": total}
+
+
+def split_channel_objective(outputs, batch, epoch, split: int = 18):
+    """Dual CE per stack (try_skeleton_and_keypoints.py:423-435)."""
+    losses = [
+        split_channel_ce_loss(o, batch["keypoint_map"], batch["skeleton_map"], split)
+        for o in outputs
+    ]
+    total = sum(losses)
+    metrics = {f"loss_stack{i}": l for i, l in enumerate(losses)}
+    metrics["loss"] = total
+    return total, metrics
+
+
+def masked_objective(outputs, batch, epoch, ohem_floor: float = 0.25):
+    """Mask-weighted losses driven by the PREDICTED stage-1 mask
+    (try_remove_background_and_costomer_loss.py:419-421): stage-1 OHEM-CE on
+    the background map; stages 2-3 CE weighted by argmax(stage-1)."""
+    fraction = (100.0 - epoch.astype(jnp.float32)) / 100.0
+    loss_1 = combined_ohem_ce_loss(
+        outputs[0], batch["background_map"], fraction, ohem_floor
+    )
+    pred_mask = jnp.argmax(outputs[0], axis=-1)  # (N, H, W) in {0, 1}
+    loss_2 = masked_ce_loss(outputs[1], batch["skeleton_map"], pred_mask)
+    loss_3 = masked_ce_loss(outputs[2], batch["keypoint_map"], pred_mask)
+    total = loss_1 + loss_2 + loss_3
+    return total, {"loss": total, "loss_1": loss_1, "loss_2": loss_2, "loss_3": loss_3}
+
+
+OBJECTIVES = {
+    "progressive": progressive_objective,
+    "classic_mse": classic_mse_objective,
+    "single_stack_ce": single_stack_ce_objective,
+    "split_channel": split_channel_objective,
+    "masked": masked_objective,
+}

@@ -7,7 +7,11 @@ anywhere, hence the environment mutation at module import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session presets JAX_PLATFORMS (e.g. 'axon' for the
+# real TPU tunnel): tests must run on the virtual 8-device CPU mesh. A pytest
+# plugin may import jax before this conftest, so set the config directly too
+# (backends initialize lazily, so this still lands in time).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -15,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,147 @@
+"""Augmentation tests: coordinate-chain parity with the reference math and
+color-jitter parity with torchvision semantics (transcribed in numpy/colorsys
+since torchvision itself is not installed in this image)."""
+
+import colorsys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from progressive_process_for_human_pose_estimation_tpu.augment import (
+    AugmentParams,
+    adjust_brightness,
+    adjust_contrast,
+    adjust_hue,
+    adjust_saturation,
+    augment_coords,
+    augment_image,
+    color_jitter,
+    resize_coords_plain,
+    sample_augment_params,
+)
+
+
+def make_params(src_h, src_w, top, left, flip):
+    return AugmentParams(
+        jnp.asarray(src_h), jnp.asarray(src_w),
+        jnp.asarray(top), jnp.asarray(left), jnp.asarray(flip),
+    )
+
+
+class TestCoordChain:
+    def test_matches_reference_math(self, rng):
+        # Reference chain (train.py:126-130, 196-199, 158-161) transcribed.
+        src_h, src_w, top, left = 427, 640, 37, 12
+        xy = rng.uniform(0, 600, (5, 2)).astype(np.float32)
+
+        x = xy[:, 0] * 320 / src_w / 4
+        y = xy[:, 1] * 320 / src_h / 4
+        x = np.maximum(x - left / 4, 0)
+        y = np.maximum(y - top / 4, 0)
+        x_flip = np.abs(x - 256 / 4)
+
+        ours_no = np.asarray(
+            augment_coords(jnp.asarray(xy), make_params(src_h, src_w, top, left, False))
+        )
+        ours_fl = np.asarray(
+            augment_coords(jnp.asarray(xy), make_params(src_h, src_w, top, left, True))
+        )
+        np.testing.assert_allclose(ours_no[:, 0], x, rtol=1e-5)
+        np.testing.assert_allclose(ours_no[:, 1], y, rtol=1e-5)
+        np.testing.assert_allclose(ours_fl[:, 0], x_flip, rtol=1e-5)
+        np.testing.assert_allclose(ours_fl[:, 1], y, rtol=1e-5)
+
+    def test_clamp_only_at_zero(self):
+        # Points cropped out on the low side clamp to 0; high side is NOT
+        # clamped (reference quirk, train.py:196-199).
+        xy = jnp.asarray([[0.0, 0.0], [639.0, 426.0]])
+        p = make_params(427, 640, 60, 60, False)
+        out = np.asarray(augment_coords(xy, p))
+        assert out[0, 0] == 0.0 and out[0, 1] == 0.0
+        assert out[1, 0] > 64.0  # beyond the 64x64 map, unclamped
+
+    def test_mpii_plain_resize(self):
+        xy = jnp.asarray([[320.0, 240.0]])
+        out = np.asarray(resize_coords_plain(xy, 480, 640, inputsize=256))
+        np.testing.assert_allclose(out, [[320 * 256 / 640 / 4, 240 * 256 / 480 / 4]])
+
+    def test_sample_params_in_range(self):
+        p = sample_augment_params(jax.random.PRNGKey(0), 400, 500)
+        assert 0 <= int(p.crop_top) < 64 and 0 <= int(p.crop_left) < 64
+
+
+class TestImageAugment:
+    def test_shapes_and_flip(self, rng):
+        img = jnp.asarray(rng.random((100, 150, 3)).astype(np.float32))
+        p_no = make_params(100, 150, 10, 20, False)
+        p_fl = make_params(100, 150, 10, 20, True)
+        a = np.asarray(augment_image(img, p_no))
+        b = np.asarray(augment_image(img, p_fl))
+        assert a.shape == (256, 256, 3)
+        np.testing.assert_allclose(a, b[:, ::-1], rtol=1e-5)
+
+    def test_identity_when_sizes_match(self, rng):
+        # src 320x320, crop at (0,0), nearest: output = top-left 256 crop.
+        img = rng.random((320, 320, 3)).astype(np.float32)
+        p = make_params(320, 320, 0, 0, False)
+        out = np.asarray(augment_image(jnp.asarray(img), p, method="nearest"))
+        np.testing.assert_allclose(out, img[:256, :256], rtol=1e-6)
+
+
+def np_grayscale(img):
+    return 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+
+
+class TestColorJitter:
+    @pytest.mark.parametrize("factor", [0.85, 1.0, 1.2])
+    def test_brightness(self, rng, factor):
+        img = rng.random((16, 16, 3)).astype(np.float32)
+        theirs = np.clip(img * factor, 0, 1)
+        ours = np.asarray(adjust_brightness(jnp.asarray(img), factor))
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    @pytest.mark.parametrize("factor", [0.85, 1.2])
+    def test_contrast(self, rng, factor):
+        # torchvision float semantics: blend with the mean of the grayscale.
+        img = rng.random((16, 16, 3)).astype(np.float32)
+        mean = np_grayscale(img).mean()
+        theirs = np.clip(mean + factor * (img - mean), 0, 1)
+        ours = np.asarray(adjust_contrast(jnp.asarray(img), factor))
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    @pytest.mark.parametrize("factor", [0.85, 1.2])
+    def test_saturation(self, rng, factor):
+        img = rng.random((16, 16, 3)).astype(np.float32)
+        gray = np_grayscale(img)[..., None]
+        theirs = np.clip(gray + factor * (img - gray), 0, 1)
+        ours = np.asarray(adjust_saturation(jnp.asarray(img), factor))
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    @pytest.mark.parametrize("shift", [-0.08, 0.05])
+    def test_hue(self, rng, shift):
+        img = rng.random((16, 16, 3)).astype(np.float32)
+        theirs = np.empty_like(img)
+        for i in range(16):
+            for j in range(16):
+                h, s, v = colorsys.rgb_to_hsv(*img[i, j])
+                theirs[i, j] = colorsys.hsv_to_rgb((h + shift) % 1.0, s, v)
+        ours = np.asarray(adjust_hue(jnp.asarray(img), shift))
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+    def test_jitter_bounded_change(self, rng):
+        img = rng.random((32, 32, 3)).astype(np.float32)
+        out = np.asarray(color_jitter(jnp.asarray(img), jax.random.PRNGKey(1)))
+        assert out.shape == img.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert np.abs(out - img).max() < 0.5  # 0.1-strength jitter is mild
+
+    def test_jitter_deterministic_per_key(self, rng):
+        img = jnp.asarray(rng.random((8, 8, 3)).astype(np.float32))
+        a = np.asarray(color_jitter(img, jax.random.PRNGKey(3)))
+        b = np.asarray(color_jitter(img, jax.random.PRNGKey(3)))
+        c = np.asarray(color_jitter(img, jax.random.PRNGKey(4)))
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a - c).max() > 0

@@ -1,0 +1,163 @@
+"""PCKh + decode parity tests against the reference's per-image Python-loop
+semantics (/root/reference/train.py:759-791, performance_compare.py:544-615,
+only_one_hourgless.py:285-313)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from progressive_process_for_human_pose_estimation_tpu.eval import (
+    argmax_decode,
+    local_max_nms,
+    normalized_peak_decode,
+    pckh_curve,
+    pckh_simple,
+)
+
+
+def reference_pckh_curve(x, target, rect, background_offset=True):
+    """Numpy transcription of the reference loop (x is NCHW like torch)."""
+    n, c, h, w = x.shape
+    n_joints = c - 1 if background_offset else c
+    off = 1 if background_offset else 0
+    accuracy = np.zeros([n, 11])
+    preds, labels = [], []
+    for i in range(n):
+        correct = np.zeros([11])
+        total = np.zeros([11])
+        pred = np.zeros([n_joints, 2])
+        label = np.zeros([n_joints, 2])
+        standard = (
+            np.sqrt((rect[i][0] - rect[i][2]) ** 2 + (rect[i][1] - rect[i][3]) ** 2) * 0.6
+        )
+        for j in range(n_joints):
+            nz = np.argwhere(target[i] == (j + 1))
+            if len(nz) == 0:
+                continue
+            label_ys, label_xs = nz[0]
+            ch = x[i, j + off]
+            pz = np.argwhere(ch >= ch.max())
+            predict_ys, predict_xs = pz[0]
+            distance = (
+                np.sqrt(
+                    float(label_ys - predict_ys) ** 2 + float(label_xs - predict_xs) ** 2
+                )
+                / standard
+            )
+            for step, k in enumerate(np.arange(0, 0.55, 0.05)):
+                if distance < k:
+                    correct[step] += 1
+                total[step] += 1
+            pred[j] = [predict_xs, predict_ys]
+            label[j] = [label_xs, label_ys]
+        accuracy[i] = correct / np.maximum(total, 1)
+        preds.append(pred)
+        labels.append(label)
+    return accuracy, np.stack(preds), np.stack(labels)
+
+
+class TestPCKhCurve:
+    @pytest.mark.parametrize("background_offset", [True, False])
+    def test_matches_reference_loop(self, rng, background_offset):
+        n, h, w = 4, 16, 16
+        c = 17 if background_offset else 16
+        x = rng.standard_normal((n, c, h, w)).astype(np.float32)
+        target = rng.integers(0, 17, (n, h, w)).astype(np.int32)
+        rect = rng.uniform(0, 16, (n, 4)).astype(np.float32)
+
+        ref_acc, ref_pred, ref_label = reference_pckh_curve(
+            x, target, rect, background_offset
+        )
+        res = pckh_curve(
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            jnp.asarray(target),
+            jnp.asarray(rect),
+            background_offset=background_offset,
+        )
+        np.testing.assert_allclose(np.asarray(res.accuracy), ref_acc, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(res.predictions), ref_pred)
+        np.testing.assert_array_equal(np.asarray(res.labels), ref_label)
+
+    def test_absent_joints_excluded(self, rng):
+        n, c, h, w = 2, 5, 8, 8
+        x = rng.standard_normal((n, c, h, w)).astype(np.float32)
+        target = np.zeros((n, h, w), np.int32)
+        target[0, 2, 3] = 1  # only joint 1 present in image 0
+        rect = np.ones((n, 4), np.float32) * np.array([0, 0, 8, 8], np.float32)
+        res = pckh_curve(
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            jnp.asarray(target),
+            jnp.asarray(rect),
+        )
+        # image 1 has no joints -> NaN curve (reference divides 0/0)
+        assert np.isnan(np.asarray(res.accuracy[1])).all()
+        assert np.isfinite(np.asarray(res.accuracy[0])).all()
+
+    def test_perfect_prediction_curve(self):
+        # Peak exactly on the label pixel -> distance 0 -> correct for all
+        # thresholds except k=0 (strict <).
+        n, c, h, w = 1, 3, 8, 8
+        x = np.zeros((n, c, h, w), np.float32)
+        target = np.zeros((n, h, w), np.int32)
+        target[0, 4, 5] = 1
+        x[0, 1, 4, 5] = 10.0
+        rect = np.array([[0, 0, 3, 4]], np.float32)  # diag 5 -> standard 3
+        res = pckh_curve(
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            jnp.asarray(target),
+            jnp.asarray(rect),
+        )
+        acc = np.asarray(res.accuracy[0])
+        assert acc[0] == 0.0 and (acc[1:] == 1.0).all()
+
+
+class TestPCKhSimple:
+    def test_perfect_match(self, rng):
+        n, h, w, c = 2, 16, 16, 14
+        tgt = np.zeros((n, h, w, c), np.float32)
+        for i in range(n):
+            for j in range(c):
+                y, x_ = rng.integers(0, 16, 2)
+                tgt[i, y, x_, j] = 1.0
+        acc = float(pckh_simple(jnp.asarray(tgt), jnp.asarray(tgt)))
+        assert acc > 0.9  # self-match is correct wherever standard > 0
+
+    def test_bug_compat_mode_runs(self, rng):
+        tgt = rng.random((1, 8, 8, 14)).astype(np.float32)
+        hm = rng.random((1, 8, 8, 14)).astype(np.float32)
+        a = float(pckh_simple(jnp.asarray(hm), jnp.asarray(tgt), bug_compat=True))
+        b = float(pckh_simple(jnp.asarray(hm), jnp.asarray(tgt), bug_compat=False))
+        assert 0.0 <= a <= 1.0 and 0.0 <= b <= 1.0
+
+
+class TestDecode:
+    def test_argmax_decode(self, rng):
+        hm = np.zeros((1, 8, 8, 2), np.float32)
+        hm[0, 3, 5, 0] = 2.0
+        hm[0, 6, 1, 1] = 0.5
+        coords, valid = argmax_decode(jnp.asarray(hm), threshold=1.0)
+        assert tuple(np.asarray(coords[0, 0])) == (20, 12)  # x4 scaling
+        assert bool(valid[0, 0]) and not bool(valid[0, 1])
+
+    def test_normalized_peak(self, rng):
+        hm = rng.random((1, 8, 8, 3)).astype(np.float32)
+        coords, valid = normalized_peak_decode(jnp.asarray(hm), threshold=0.99)
+        assert np.asarray(valid).all()  # channel max normalizes to 1 > 0.99...
+        # peak==1 exactly -> with threshold 0.5 all valid too
+        _, v2 = normalized_peak_decode(jnp.asarray(hm), threshold=0.5)
+        assert np.asarray(v2).all()
+
+    def test_local_max_nms_matches_scipy(self, rng):
+        from scipy import ndimage
+
+        hm = rng.random((2, 16, 16, 3)).astype(np.float32)
+        ours = np.asarray(local_max_nms(jnp.asarray(hm)))
+        for i in range(2):
+            for ch in range(3):
+                golden = (
+                    ndimage.maximum_filter(hm[i, :, :, ch], size=3, mode="constant",
+                                           cval=-np.inf)
+                    == hm[i, :, :, ch]
+                )
+                np.testing.assert_array_equal(ours[i, :, :, ch], golden)
