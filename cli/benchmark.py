@@ -1,0 +1,64 @@
+"""Latency/throughput CLI — replaces the reference's manual timing loop
+(/root/reference/hourglass_compare.py:1263-1273: 100 forwards, min/mean of
+time.process_time) with tunnel-safe on-device measurement."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from .common import add_model_args, build_model_from_args
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_model_args(p)
+    p.add_argument("--input-size", type=int, default=256)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--latency", action="store_true",
+                   help="also report bs=1 latency (reference's 100-run loop)")
+    p.add_argument("--json", action="store_true", help="print one JSON line")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from progressive_process_for_human_pose_estimation_tpu.bench import (
+        measure_latency,
+        measure_throughput,
+    )
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = build_model_from_args(args, use_running_average=True)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (args.batch, args.input_size, args.input_size, 3), dtype
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    apply_fn = lambda xx: model.apply(variables, xx)
+
+    ips, dt = measure_throughput(apply_fn, x)
+    out = {
+        "preset": args.preset,
+        "batch": args.batch,
+        "images_per_sec": round(ips, 1),
+        "sec_per_batch": round(dt, 6),
+    }
+    if args.latency:
+        x1 = x[:1]
+        lat_min, lat_mean = measure_latency(lambda xx: model.apply(variables, xx), x1)
+        out["latency_bs1_min_ms"] = round(lat_min * 1e3, 3)
+        out["latency_bs1_mean_ms"] = round(lat_mean * 1e3, 3)
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k}: {v}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Two-model side-by-side PCKh — replaces
+/root/reference/performance_compare.py:618-762: load two presets (+optional
+checkpoints), run both on the same batches, report both detection-rate
+curves."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import add_data_args, build_loader_from_args
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_data_args(p)
+    p.add_argument("--preset-a", default="progressive_mpii")
+    p.add_argument("--preset-b", default="classic_baseline")
+    p.add_argument("--load-a", default=None)
+    p.add_argument("--load-b", default=None)
+    p.add_argument("--features", type=int, default=None)
+    p.add_argument("--hourglass-depth", type=int, default=None)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from progressive_process_for_human_pose_estimation_tpu.data import make_coco_batch_fn
+    from progressive_process_for_human_pose_estimation_tpu.eval import (
+        PCKH_THRESHOLDS,
+        pckh_curve,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.models import build_model
+    from progressive_process_for_human_pose_estimation_tpu.train import (
+        create_train_state,
+        restore_checkpoint,
+    )
+
+    manifest, loader = build_loader_from_args(args, shuffle=False)
+    batch_fn = make_coco_batch_fn(manifest["skeleton"], augment=False)
+
+    kw = dict(dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+              use_running_average=True)
+    if args.features:
+        kw["features"] = args.features
+    if args.hourglass_depth:
+        kw["hourglass_depth"] = args.hourglass_depth
+
+    results = {}
+    sample = jnp.zeros((args.batch_size, 256, 256, 3))
+    for tag, preset, load, offset in [
+        ("a", args.preset_a, args.load_a, True),
+        ("b", args.preset_b, args.load_b, False),
+    ]:
+        model = build_model(preset, **kw)
+        state = create_train_state(model, jax.random.PRNGKey(0), sample)
+        if load:
+            state = restore_checkpoint(load, state)
+
+        @jax.jit
+        def eval_batch(params, batch_stats, images, target, rect, model=model,
+                       offset=offset):
+            outs = model.apply({"params": params, "batch_stats": batch_stats}, images)
+            if not isinstance(outs, (list, tuple)):
+                outs = [outs]
+            hm = jax.nn.softmax(outs[-1].astype(jnp.float32), axis=-1)
+            return pckh_curve(hm, target, rect, background_offset=offset).accuracy
+
+        curves = []
+        for host in loader:
+            rendered = batch_fn(
+                jax.random.PRNGKey(0),
+                jnp.asarray(host["images"]),
+                jnp.asarray(host["keypoints"]),
+                jnp.asarray(host["polygons"]),
+                jnp.asarray(host["n_vertices"]),
+                jnp.asarray(host["n_persons"]),
+                jnp.asarray(host["src_dims"]),
+            )
+            n = rendered["image"].shape[0]
+            rect = jnp.asarray(
+                host.get("head_rects", np.tile([0, 0, 16, 16], (n, 1))), jnp.float32
+            )
+            acc = eval_batch(state.params, state.batch_stats, rendered["image"],
+                             rendered["keypoint_map"], rect)
+            curves.append(np.asarray(acc))
+        results[tag] = np.nanmean(np.concatenate(curves, axis=0), axis=0)
+
+    print(f"{'thr':>6} {'model A (' + args.preset_a + ')':>28} "
+          f"{'model B (' + args.preset_b + ')':>28}")
+    for t, a, b in zip(np.asarray(PCKH_THRESHOLDS), results["a"], results["b"]):
+        print(f"{t:>6.2f} {a * 100:>28.2f} {b * 100:>28.2f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

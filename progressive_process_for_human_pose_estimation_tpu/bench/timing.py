@@ -1,0 +1,69 @@
+"""Latency / throughput measurement that survives the remote-TPU tunnel.
+
+The reference times 100 sequential forwards with ``time.process_time`` and
+prints min/mean (/root/reference/hourglass_compare.py:1263-1273). Under this
+environment's remote TPU tunnel, ``block_until_ready`` does not actually
+synchronize and per-call dispatch costs ~30 ms, so both harnesses here run
+the model N times inside ONE jitted ``lax.fori_loop`` (input perturbed per
+iteration to defeat CSE) ending in a scalar readback, and difference two N
+values to cancel the fixed dispatch/readback overhead.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _chained(apply_fn: Callable, n: int):
+    @jax.jit
+    def f(x):
+        def body(i, carry):
+            x, acc = carry
+            outs = apply_fn(x + i.astype(x.dtype) * 1e-6)
+            out = outs[-1] if isinstance(outs, (list, tuple)) else outs
+            return x, acc + jnp.sum(out.astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+        return acc
+
+    return f
+
+
+def _time_n(apply_fn, x, n: int, repeats: int) -> float:
+    f = _chained(apply_fn, n)
+    float(f(x))  # compile + warmup; scalar readback forces execution
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_throughput(
+    apply_fn: Callable,
+    x: jax.Array,
+    n_lo: int = 2,
+    n_hi: int = 12,
+    repeats: int = 3,
+) -> Tuple[float, float]:
+    """Returns (items_per_sec for x.shape[0] items per call, sec_per_call)."""
+    t_lo = _time_n(apply_fn, x, n_lo, repeats)
+    t_hi = _time_n(apply_fn, x, n_hi, repeats)
+    dt = (t_hi - t_lo) / (n_hi - n_lo)
+    return x.shape[0] / dt, dt
+
+
+def measure_latency(
+    apply_fn: Callable, x: jax.Array, iters: int = 100, repeats: int = 3
+) -> Tuple[float, float]:
+    """bs=1 latency (min, mean) over ``iters`` on-device iterations — the
+    reference's 100-forward loop, measured without tunnel artifacts."""
+    t = _time_n(apply_fn, x, iters, repeats)
+    t1 = _time_n(apply_fn, x, 1, repeats)
+    per_iter = (t - t1) / (iters - 1)
+    return per_iter, t / iters

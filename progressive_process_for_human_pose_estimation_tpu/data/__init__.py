@@ -1,0 +1,11 @@
+from .manifests import (  # noqa: F401
+    build_coco_manifest,
+    build_lsp_manifest,
+    build_mpii_manifest,
+    load_manifest,
+    lsp_split,
+    mpii_split,
+    save_manifest,
+)
+from .pipeline import HostLoader, make_coco_batch_fn, make_mpii_batch_fn  # noqa: F401
+from .synthetic import synthetic_coco_manifest, synthetic_image  # noqa: F401

@@ -1,0 +1,225 @@
+"""Host loader + on-device batch renderer.
+
+Division of labour (SURVEY.md §7): the host does ONLY JPEG decode + resize to
+a fixed staging size (the reference's Rescale(320) / MPII resize(256) —
+/root/reference/train.py:250, 654); *everything else* — crop/flip jitter,
+color jitter, Gaussian heatmaps, class-map rasterization — runs inside one
+jitted, vmapped XLA program per batch. This replaces the reference's 16-20
+DataLoader worker processes doing per-sample PIL work (SURVEY.md §3 hot loop
+(b)) with device compute.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..augment import (
+    augment_coords,
+    augment_image,
+    color_jitter,
+    resize_coords_plain,
+    sample_augment_params,
+)
+from ..targets import (
+    gaussian_heatmaps,
+    rasterize_ellipses_1px,
+    rasterize_lines,
+    rasterize_points,
+    rasterize_polygons,
+)
+from .manifests import Manifest
+
+
+def make_coco_batch_fn(
+    skeleton: np.ndarray,
+    inputsize: int = 256,
+    rescale_size: int = 320,
+    augment: bool = True,
+    render_gauss: bool = True,
+    image_method: str = "bilinear",
+):
+    """Build the jitted COCO-path batch renderer.
+
+    Input (host arrays, batch-leading):
+      images: (N, rescale, rescale, 3) float in [0,1] (host pre-resized —
+        exactly the reference's Rescale(320) image op)
+      keypoints: (N, P, 17, 3); polygons: (N, P, V, 2); n_vertices: (N, P);
+      n_persons: (N,); src_dims: (N, 2) original (h, w)
+    Output dict: image (N, S, S, 3), keypoint_map / skeleton_map /
+      background_map (N, S/4, S/4) int32, gauss_maps (N, S/4, S/4, 17).
+
+    Label semantics follow /root/reference/train.py:282-324: coordinates are
+    truncated to ints before drawing; keypoints drawn when v > 0; skeleton
+    edges when both endpoints visible; person silhouettes filled with 1.
+    """
+    map_size = inputsize // 4
+    sk = jnp.asarray(skeleton)
+
+    def per_sample(key, image, kps, polys, n_verts, n_person, src_hw):
+        p, k, _ = kps.shape
+        kp_xy = kps[..., :2]
+        vis = kps[..., 2] > 0
+        person_mask = jnp.arange(p) < n_person
+        vis = vis & person_mask[:, None]
+
+        if augment:
+            kg, kc = jax.random.split(key)
+            params = sample_augment_params(
+                kg, src_hw[0], src_hw[1], rescale_size, inputsize
+            )
+            # Host already resized the image to rescale_size², so the image
+            # gather sees a rescale-identity source; label coordinates use
+            # the ORIGINAL dims (the reference scales them by new/src/4).
+            img_params = params._replace(
+                src_h=jnp.asarray(rescale_size), src_w=jnp.asarray(rescale_size)
+            )
+            image = augment_image(
+                image, img_params, rescale_size, inputsize, method=image_method
+            )
+            image = color_jitter(image, kc)
+            kp_xy = augment_coords(kp_xy, params, rescale_size, inputsize)
+            poly_xy = augment_coords(polys, params, rescale_size, inputsize)
+        else:
+            kp_xy = resize_coords_plain(kp_xy, src_hw[0], src_hw[1], inputsize)
+            poly_xy = resize_coords_plain(polys, src_hw[0], src_hw[1], inputsize)
+            image = image[:inputsize, :inputsize]
+
+        # Reference truncates to int before drawing (train.py:295-299).
+        kp_draw = jnp.trunc(kp_xy)
+        edge_valid = vis[:, sk[:, 0]] & vis[:, sk[:, 1]]
+        out = {
+            "image": image,
+            "keypoint_map": rasterize_points(kp_draw, vis, map_size, map_size),
+            "skeleton_map": rasterize_lines(
+                kp_draw[:, sk[:, 0]], kp_draw[:, sk[:, 1]], edge_valid,
+                map_size, map_size,
+            ),
+            "background_map": rasterize_polygons(
+                poly_xy,
+                n_verts,
+                person_mask & (n_verts > 2),
+                map_size,
+                map_size,
+            ),
+        }
+        if render_gauss:
+            out["gauss_maps"] = gaussian_heatmaps(kp_draw, vis, map_size, map_size)
+        return out
+
+    @jax.jit
+    def batch_fn(key, images, keypoints, polygons, n_vertices, n_persons, src_dims):
+        keys = jax.random.split(key, images.shape[0])
+        return jax.vmap(per_sample)(
+            keys, images, keypoints, polygons, n_vertices, n_persons, src_dims
+        )
+
+    return batch_fn
+
+
+def make_mpii_batch_fn(skeleton: np.ndarray, inputsize: int = 256):
+    """MPII-path batch renderer (/root/reference/train.py:649-708): plain
+    resize, per-joint size-1 ellipses, skeleton lines, head rect scaled into
+    map space. Single person per image."""
+    map_size = inputsize // 4
+    sk = jnp.asarray(skeleton)
+
+    def per_sample(image, kps, head_rect, src_hw):
+        kp_xy = resize_coords_plain(kps[..., :2], src_hw[0], src_hw[1], inputsize)
+        vis = kps[..., 2] > 0
+        edge_valid = vis[sk[:, 0]] & vis[sk[:, 1]]
+        scale = jnp.stack(
+            [
+                inputsize / 4.0 / src_hw[1].astype(jnp.float32),
+                inputsize / 4.0 / src_hw[0].astype(jnp.float32),
+            ]
+        )
+        rect = head_rect * jnp.concatenate([scale, scale])
+        return {
+            "image": image,
+            "keypoint_map": rasterize_ellipses_1px(kp_xy, vis, map_size, map_size),
+            "skeleton_map": rasterize_lines(
+                kp_xy[None, sk[:, 0]], kp_xy[None, sk[:, 1]], edge_valid[None],
+                map_size, map_size,
+            ),
+            "head_rect": rect,
+        }
+
+    @jax.jit
+    def batch_fn(images, keypoints, head_rects, src_dims):
+        return jax.vmap(per_sample)(images, keypoints, head_rects, src_dims)
+
+    return batch_fn
+
+
+class HostLoader:
+    """Minimal host-side image feeder: decode + staging resize only.
+
+    For a manifest with image files on disk it uses PIL; for synthetic
+    manifests (names starting 'synthetic_') it renders blob images. Yields
+    dicts of stacked numpy arrays ready for a batch_fn.
+    """
+
+    def __init__(
+        self,
+        manifest: Manifest,
+        image_dir: Optional[str] = None,
+        batch_size: int = 8,
+        staging_size: int = 320,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = True,
+    ):
+        self.manifest = manifest
+        self.image_dir = image_dir
+        self.batch_size = batch_size
+        self.staging_size = staging_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.drop_remainder = drop_remainder
+
+    def _load_image(self, idx: int) -> np.ndarray:
+        name = str(self.manifest["image_names"][idx])
+        s = self.staging_size
+        if name.startswith("synthetic_"):
+            from .synthetic import synthetic_image
+
+            img = synthetic_image(
+                self.manifest["keypoints"][idx],
+                img_size=int(self.manifest["image_dims"][idx][0]),
+                seed=idx,
+            )
+            from PIL import Image
+
+            pil = Image.fromarray((img * 255).astype(np.uint8))
+        else:
+            from PIL import Image
+
+            pil = Image.open(os.path.join(self.image_dir, name)).convert("RGB")
+        pil = pil.resize((s, s))
+        return np.asarray(pil, np.float32) / 255.0
+
+    def __len__(self):
+        n = len(self.manifest["image_names"])
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.manifest["image_names"])
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        bs = self.batch_size
+        stop = n - n % bs if self.drop_remainder else n
+        for start in range(0, stop, bs):
+            idx = order[start : start + bs]
+            batch = {
+                "images": np.stack([self._load_image(i) for i in idx]),
+                "src_dims": self.manifest["image_dims"][idx],
+            }
+            for key in ("keypoints", "polygons", "n_vertices", "n_persons", "head_rects"):
+                if key in self.manifest:
+                    batch[key] = self.manifest[key][idx]
+            yield batch

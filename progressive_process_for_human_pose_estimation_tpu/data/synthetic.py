@@ -1,0 +1,75 @@
+"""Synthetic pose dataset: manifest-shaped random data for tests/demos/bench.
+
+The real datasets (LSP/MPII/COCO) are not bundled; this generates
+structurally identical records — random articulated "persons" with plausible
+joint layouts, silhouette polygons around them, and images with joint-aligned
+blobs so that training has learnable signal. Serves the role of
+dataset_check.py's smoke data (SURVEY.md §4) without the datasets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.recursive import COCO_SKELETON
+from .manifests import Manifest, N_JOINTS_COCO
+
+
+def synthetic_coco_manifest(
+    n_images: int = 64,
+    max_persons: int = 4,
+    max_vertices: int = 16,
+    img_size: int = 256,
+    seed: int = 0,
+) -> Manifest:
+    rng = np.random.default_rng(seed)
+    kps = np.zeros((n_images, max_persons, N_JOINTS_COCO, 3), np.float32)
+    polys = np.zeros((n_images, max_persons, max_vertices, 2), np.float32)
+    n_verts = np.zeros((n_images, max_persons), np.int32)
+    n_persons = rng.integers(1, max_persons + 1, (n_images,)).astype(np.int32)
+    dims = np.full((n_images, 2), img_size, np.int32)
+
+    for i in range(n_images):
+        for p in range(n_persons[i]):
+            cx, cy = rng.uniform(0.25 * img_size, 0.75 * img_size, 2)
+            spread = rng.uniform(0.08, 0.2) * img_size
+            joints = np.stack(
+                [
+                    np.clip(cx + rng.normal(0, spread, N_JOINTS_COCO), 0, img_size - 1),
+                    np.clip(cy + rng.normal(0, spread, N_JOINTS_COCO), 0, img_size - 1),
+                ],
+                axis=1,
+            )
+            vis = (rng.random(N_JOINTS_COCO) > 0.2).astype(np.float32) * 2.0
+            kps[i, p] = np.concatenate([joints, vis[:, None]], axis=1)
+            nv = int(rng.integers(6, max_vertices + 1))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rad = rng.uniform(0.7, 1.6, nv) * spread
+            polys[i, p, :nv, 0] = np.clip(cx + rad * np.cos(ang), 0, img_size - 1)
+            polys[i, p, :nv, 1] = np.clip(cy + rad * np.sin(ang), 0, img_size - 1)
+            n_verts[i, p] = nv
+
+    return {
+        "image_names": np.asarray([f"synthetic_{i:06d}" for i in range(n_images)]),
+        "image_dims": dims,
+        "keypoints": kps,
+        "polygons": polys,
+        "n_vertices": n_verts,
+        "n_persons": n_persons,
+        "skeleton": COCO_SKELETON,
+        "truncation_counts": np.zeros(2, np.int64),
+    }
+
+
+def synthetic_image(record_kps: np.ndarray, img_size: int = 256, seed: int = 0):
+    """Render an image with Gaussian blobs at the (visible) joints over
+    noise — enough signal for a loss to decrease in smoke training."""
+    rng = np.random.default_rng(seed)
+    img = rng.random((img_size, img_size, 3)).astype(np.float32) * 0.2
+    ys, xs = np.mgrid[0:img_size, 0:img_size]
+    for person in record_kps:
+        for x, y, v in person:
+            if v > 0:
+                blob = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * 4.0**2))
+                img += 0.6 * blob[:, :, None]
+    return np.clip(img, 0, 1)

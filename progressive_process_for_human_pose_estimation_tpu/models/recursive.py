@@ -138,6 +138,15 @@ class StackedHourglass(nn.Module):
                 sk = kp[..., sks[:, 0] + 1] + kp[..., sks[:, 1] + 1]
                 stack_out = jnp.concatenate([kp, sk], axis=-1)
                 return_feed = kp
+            elif self.variant == "skeleton_from_keypoints_merge":
+                # Same derivation, but the derived skeleton is fed back
+                # through the return conv together with the keypoints
+                # (/root/reference/try_skeleton_from_keypoints_merge.py:278,303:
+                # conv4's input channels grow by the edge count).
+                kp = head_out
+                sk = kp[..., sks[:, 0] + 1] + kp[..., sks[:, 1] + 1]
+                stack_out = jnp.concatenate([kp, sk], axis=-1)
+                return_feed = stack_out
             elif self.variant == "skeleton_merge":
                 # out[..., base:] = out[..., base:] - out[..., 0:1]
                 #                   + out[..., sks[:,0]] + out[..., sks[:,1]]

@@ -1,0 +1,80 @@
+"""CLI smoke tests (tiny configs on the CPU mesh): train → checkpoint →
+evaluate round trip, params reporting, and metric logger output."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+class TestTrainCLI:
+    def test_train_then_evaluate(self, tmp_path):
+        from cli import evaluate, train
+
+        ckpt = str(tmp_path / "ckpt")
+        state = train.main(
+            [
+                "--preset", "progressive_coco",
+                "--features", "16", "--hourglass-depth", "1",
+                "--dtype", "float32", "--input-size", "64",
+                "--batch-size", "4", "--n-synthetic", "8",
+                "--epochs", "2", "--log-every", "1",
+                "--save", ckpt,
+            ]
+        )
+        assert int(state.epoch) == 2
+        assert os.path.exists(ckpt)
+        assert os.path.exists(ckpt + "_loss.png")
+
+        curve = evaluate.main(
+            [
+                "--preset", "progressive_coco",
+                "--features", "16", "--hourglass-depth", "1",
+                "--dtype", "float32", "--input-size", "64",
+                "--batch-size", "4", "--n-synthetic", "8",
+                "--load", ckpt,
+                "--plot", str(tmp_path / "curve.png"),
+            ]
+        )
+        assert curve.shape == (11,)
+        assert os.path.exists(tmp_path / "curve.png")
+
+    def test_params_cli(self, capsys):
+        from cli import params
+
+        n, cost = params.main(
+            ["--preset", "only_one_hourglass", "--features", "64",
+             "--hourglass-depth", "2", "--input-size", "64", "--dtype", "float32"]
+        )
+        assert n > 10_000
+        out = capsys.readouterr().out
+        assert "params:" in out
+
+
+class TestMetricLogger:
+    def test_tensorboard_and_curves(self, tmp_path):
+        from progressive_process_for_human_pose_estimation_tpu.utils.metrics import (
+            MetricLogger,
+            colorize_class_map,
+            make_grid,
+        )
+
+        logger = MetricLogger(str(tmp_path / "runs"), "exp1")
+        for s in range(3):
+            logger.log_scalars(s, {"loss": 3.0 - s, "loss_2": 1.0})
+        rng = np.random.default_rng(0)
+        logger.log_images(
+            0,
+            rng.random((2, 32, 32, 3)).astype(np.float32),
+            [rng.random((2, 8, 8, 5)).astype(np.float32)] * 3,
+        )
+        logger.save_loss_curve(str(tmp_path / "loss.png"))
+        logger.close()
+        event_files = list((tmp_path / "runs" / "exp1").glob("events*"))
+        assert event_files, "tensorboard event file written"
+        assert (tmp_path / "loss.png").exists()
+
+        rgb = colorize_class_map(np.arange(16).reshape(4, 4))
+        assert rgb.shape == (4, 4, 3)
+        grid = make_grid(rng.random((3, 8, 8, 3)).astype(np.float32))
+        assert grid.ndim == 3

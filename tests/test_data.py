@@ -1,0 +1,166 @@
+"""Data subsystem tests: COCO JSON manifest building (pure-python indexer),
+splits, the device batch renderer, and a dataset_check-style streaming pass
+(the reference's only integration test, /root/reference/dataset_check.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from progressive_process_for_human_pose_estimation_tpu.data import (
+    HostLoader,
+    build_coco_manifest,
+    load_manifest,
+    lsp_split,
+    make_coco_batch_fn,
+    make_mpii_batch_fn,
+    mpii_split,
+    save_manifest,
+    synthetic_coco_manifest,
+)
+from progressive_process_for_human_pose_estimation_tpu.models.recursive import (
+    COCO_SKELETON,
+    MPII_SKELETON,
+)
+
+
+def tiny_coco_json(tmp_path):
+    data = {
+        "images": [
+            {"id": 7, "file_name": "a.jpg", "height": 400, "width": 600},
+            {"id": 9, "file_name": "b.jpg", "height": 300, "width": 500},
+        ],
+        "annotations": [
+            {
+                "image_id": 7,
+                "keypoints": list(np.arange(51, dtype=float)),
+                "segmentation": [[10.0, 10.0, 50.0, 10.0, 30.0, 60.0]],
+            },
+            {
+                "image_id": 7,
+                "keypoints": list(np.ones(51)),
+                "segmentation": {"counts": "RLE", "size": [400, 600]},  # crowd: skipped
+            },
+            {
+                "image_id": 9,
+                "keypoints": list(np.zeros(51)),
+                "segmentation": [[1.0, 1.0, 2.0, 1.0, 2.0, 2.0, 1.0, 2.0]],
+            },
+        ],
+        "categories": [
+            {"name": "person", "skeleton": (COCO_SKELETON + 1).tolist()}
+        ],
+    }
+    p = tmp_path / "kp.json"
+    p.write_text(json.dumps(data))
+    return str(p)
+
+
+class TestManifests:
+    def test_coco_manifest(self, tmp_path):
+        m = build_coco_manifest(tiny_coco_json(tmp_path))
+        assert list(m["image_names"]) == ["a.jpg", "b.jpg"]
+        assert m["n_persons"].tolist() == [1, 1]  # RLE crowd ann skipped
+        assert m["n_vertices"][0, 0] == 3
+        assert m["keypoints"].shape[1:] == (13, 17, 3)
+        np.testing.assert_array_equal(m["skeleton"], COCO_SKELETON)
+
+    def test_manifest_roundtrip(self, tmp_path):
+        m = synthetic_coco_manifest(n_images=4)
+        save_manifest(str(tmp_path / "m.npz"), m)
+        m2 = load_manifest(str(tmp_path / "m.npz"))
+        np.testing.assert_array_equal(m["keypoints"], m2["keypoints"])
+
+    def test_splits(self):
+        train, ev = lsp_split(100)
+        assert len(train) == 90 and len(ev) == 10
+        tr, ev, te = mpii_split(100)
+        assert len(te) == 10 and len(ev) == 20 and len(tr) == 70
+        assert len(set(tr) | set(ev) | set(te)) == 100
+
+
+class TestPipeline:
+    def test_coco_batch_renderer(self):
+        m = synthetic_coco_manifest(n_images=8, img_size=256)
+        loader = HostLoader(m, batch_size=4, staging_size=320, seed=1)
+        batch_fn = make_coco_batch_fn(m["skeleton"])
+        host = next(iter(loader))
+        out = batch_fn(
+            jax.random.PRNGKey(0),
+            jnp.asarray(host["images"]),
+            jnp.asarray(host["keypoints"]),
+            jnp.asarray(host["polygons"]),
+            jnp.asarray(host["n_vertices"]),
+            jnp.asarray(host["n_persons"]),
+            jnp.asarray(host["src_dims"]),
+        )
+        assert out["image"].shape == (4, 256, 256, 3)
+        assert out["keypoint_map"].shape == (4, 64, 64)
+        assert out["skeleton_map"].shape == (4, 64, 64)
+        assert out["background_map"].shape == (4, 64, 64)
+        assert out["gauss_maps"].shape == (4, 64, 64, 17)
+        # labels actually contain foreground
+        assert int(jnp.sum(out["background_map"])) > 0
+        assert int(jnp.max(out["keypoint_map"])) > 0
+        assert int(jnp.max(out["skeleton_map"])) > 0
+        assert 1 <= int(jnp.max(out["keypoint_map"])) <= 17
+
+    def test_mpii_batch_renderer(self, rng):
+        n = 2
+        images = jnp.asarray(rng.random((n, 256, 256, 3)).astype(np.float32))
+        kps = np.zeros((n, 16, 3), np.float32)
+        kps[:, :, 0] = rng.uniform(0, 600, (n, 16))
+        kps[:, :, 1] = rng.uniform(0, 400, (n, 16))
+        kps[:, :, 2] = 1
+        rects = np.asarray([[100, 50, 200, 150]] * n, np.float32)
+        dims = np.asarray([[400, 600]] * n, np.int32)
+        fn = make_mpii_batch_fn(MPII_SKELETON)
+        out = fn(images, jnp.asarray(kps), jnp.asarray(rects), jnp.asarray(dims))
+        assert out["keypoint_map"].shape == (n, 64, 64)
+        assert int(jnp.max(out["keypoint_map"])) >= 1
+        # head rect scaled into map space: x * 256/600/4
+        np.testing.assert_allclose(
+            np.asarray(out["head_rect"][0]),
+            [100 * 64 / 600, 50 * 64 / 400, 200 * 64 / 600, 150 * 64 / 400],
+            rtol=1e-5,
+        )
+
+    def test_dataset_check_streaming_pass(self):
+        # dataset_check.py equivalent: iterate the full loader once; every
+        # batch must render without NaNs or crashes.
+        m = synthetic_coco_manifest(n_images=12, img_size=128)
+        loader = HostLoader(m, batch_size=4, staging_size=320)
+        batch_fn = make_coco_batch_fn(m["skeleton"])
+        n_batches = 0
+        for host in loader:
+            out = batch_fn(
+                jax.random.PRNGKey(n_batches),
+                jnp.asarray(host["images"]),
+                jnp.asarray(host["keypoints"]),
+                jnp.asarray(host["polygons"]),
+                jnp.asarray(host["n_vertices"]),
+                jnp.asarray(host["n_persons"]),
+                jnp.asarray(host["src_dims"]),
+            )
+            assert bool(jnp.all(jnp.isfinite(out["image"])))
+            n_batches += 1
+        assert n_batches == 3
+
+    def test_no_augment_mode(self):
+        m = synthetic_coco_manifest(n_images=4, img_size=256)
+        loader = HostLoader(m, batch_size=2, staging_size=320)
+        batch_fn = make_coco_batch_fn(m["skeleton"], augment=False)
+        host = next(iter(loader))
+        out = batch_fn(
+            jax.random.PRNGKey(0),
+            jnp.asarray(host["images"]),
+            jnp.asarray(host["keypoints"]),
+            jnp.asarray(host["polygons"]),
+            jnp.asarray(host["n_vertices"]),
+            jnp.asarray(host["n_persons"]),
+            jnp.asarray(host["src_dims"]),
+        )
+        assert out["image"].shape == (2, 256, 256, 3)
