@@ -1,2 +1,3 @@
+from .crf import dense_crf  # noqa: F401
 from .decode import argmax_decode, local_max_nms, normalized_peak_decode  # noqa: F401
 from .pckh import PCKH_THRESHOLDS, PCKhResult, pckh_curve, pckh_simple  # noqa: F401

@@ -12,6 +12,7 @@ from typing import Any, Callable, Dict
 import jax.numpy as jnp
 
 from .classic import ClassicStackedHourglass  # noqa: F401
+from .gated import GatedRecursiveProgressive  # noqa: F401
 from .progressive import (  # noqa: F401
     MaskNet,
     ProgressiveHourglass,
@@ -78,6 +79,11 @@ def _presets() -> Dict[str, Callable[..., Any]]:
             variant="skeleton_merge",
             skeleton=COCO_SKELETON,
             **kw,
+        ),
+        # Gated recursive progressive (argmax-mask feature gating,
+        # /root/reference/try_costomer_loss.py:296-330).
+        "gated_progressive": lambda **kw: GatedRecursiveProgressive(
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1), **kw
         ),
         # Derived-skeleton variant
         # (/root/reference/try_skeleton_from_keypoints.py:265-283).
