@@ -1,0 +1,94 @@
+"""Experiment presets: one config per reference experiment (BASELINE.json).
+
+The reference configures experiments by hand-editing module constants per
+script (/root/reference/train.py:39-97). Here each experiment is a frozen
+dataclass bundling the model preset, training objective, and data settings —
+the five BASELINE.json configs map 1:1 onto entries in :data:`EXPERIMENTS`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    model_preset: str
+    objective: str
+    dataset: str  # 'mpii' | 'coco' | 'lsp' | 'synthetic'
+    input_size: int = 256
+    batch_size: int = 48          # train.py:50
+    learning_rate: float = 1e-4   # train.py:54
+    epochs: int = 300             # train.py:49
+    augment: bool = True
+    notes: str = ""
+
+
+EXPERIMENTS = {
+    # BASELINE config 1: "Single-hourglass 256x256 MPII inference, 16-joint
+    # heatmaps (only_one_hourgless.py)".
+    "only_one_hourglass": ExperimentConfig(
+        name="only_one_hourglass",
+        model_preset="only_one_hourglass",
+        objective="single_stack_ce",
+        dataset="mpii",
+        batch_size=16,
+        augment=False,
+        notes="single weight-shared stack; CE on integer class maps",
+    ),
+    # BASELINE config 2: "2-stack progressive hourglass with intermediate
+    # supervision (try_different_stack)".
+    "progressive_2stage": ExperimentConfig(
+        name="progressive_2stage",
+        model_preset="progressive_2stage",
+        objective="progressive",
+        dataset="coco",
+        notes="bg mask stage + keypoint stage",
+    ),
+    # BASELINE config 3: "8-stack hourglass + skeleton-branch custom loss
+    # (try_skeleton_and_keypoints)" — the flagship/bench model.
+    "hourglass8_skeleton": ExperimentConfig(
+        name="hourglass8_skeleton",
+        model_preset="hourglass8_skeleton",
+        objective="split_channel",
+        dataset="coco",
+        notes="38-ch joint output, dual CE over the 18/20 channel split",
+    ),
+    # BASELINE config 4: "ASPP/dilated-conv hourglass, max-pool removed
+    # (try_with_aspp_remove_max_pool)".
+    "aspp_no_maxpool": ExperimentConfig(
+        name="aspp_no_maxpool",
+        model_preset="progressive_coco",
+        objective="progressive",
+        dataset="coco",
+        notes="stride-2 residual downsampling + ASPP bottleneck (no maxpool)",
+    ),
+    # BASELINE config 5: "COCO 17-keypoint full train+eval with augmentation
+    # + background removal".
+    "coco_full": ExperimentConfig(
+        name="coco_full",
+        model_preset="stage_sequential",
+        objective="masked",
+        dataset="coco",
+        notes="predicted-mask-gated features + mask-weighted losses",
+    ),
+    # The reference's final published model (train.py as committed).
+    "progressive_mpii_final": ExperimentConfig(
+        name="progressive_mpii_final",
+        model_preset="progressive_mpii",
+        objective="progressive",
+        dataset="mpii",
+        notes="annealed OHEM-CE + CE on skeleton/keypoint stages "
+              "(background stage unsupervised, as in train.py:886-890)",
+    ),
+    # Fair-comparison baseline (hourglass_compare.py).
+    "classic_baseline": ExperimentConfig(
+        name="classic_baseline",
+        model_preset="classic_baseline",
+        objective="classic_mse",
+        dataset="mpii",
+        notes="4-stack Newell baseline, per-stack MSE on Gaussian maps",
+    ),
+}

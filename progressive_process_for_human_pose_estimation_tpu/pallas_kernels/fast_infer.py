@@ -20,6 +20,7 @@ from ..ops.resize import max_pool_2x2, upsample2x_bilinear_align_corners
 from .fused_residual import (
     fold_lite_residual_params,
     lite_residual_fast,
+    lite_residual_hybrid,
     lite_residual_pallas,
 )
 
@@ -44,7 +45,7 @@ def _matmul1x1(x, w, b=None):
     return y if b is None else y + b
 
 
-def build_fast_apply(model, variables, residual_impl: str = "pallas"):
+def build_fast_apply(model, variables, residual_impl: str = "hybrid"):
     """Build `fast(x) -> [stack outputs]` for a share_weights StackedHourglass.
 
     Args:
@@ -56,7 +57,11 @@ def build_fast_apply(model, variables, residual_impl: str = "pallas"):
     s = variables["batch_stats"]
     dt = jnp.bfloat16
 
-    res = lite_residual_fast if residual_impl == "fast" else lite_residual_pallas
+    res = {
+        "fast": lite_residual_fast,
+        "pallas": lite_residual_pallas,
+        "hybrid": lite_residual_hybrid,
+    }[residual_impl]
 
     stem_convw = p["conv1"]["conv"]["kernel"].astype(dt)
     stem_convb = p["conv1"]["conv"]["bias"].astype(dt)

@@ -78,16 +78,19 @@ def fold_lite_residual_params(params: Dict, stats: Dict, dtype=jnp.bfloat16) -> 
     return out
 
 
-def lite_residual_fast(x: jax.Array, fp: Dict) -> jax.Array:
-    """Folded-weight jnp reference path (any channel combination)."""
-    y = jnp.maximum(x * fp["a0"] + fp["b0"], 0)
-    h = jnp.maximum(
-        jax.lax.dot_general(
-            y, fp["w1"], (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        + fp["b1"],
-        0,
+def _conv1x1(x, w):
+    """1x1 conv via conv_general_dilated — XLA's conv path fuses surrounding
+    elementwise ops better than an equivalent dot_general here."""
+    return jax.lax.conv_general_dilated(
+        x, w[None, None], (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def lite_residual_fast(x: jax.Array, fp: Dict) -> jax.Array:
+    """Folded-weight jnp path (any channel combination)."""
+    y = jnp.maximum(x * fp["a0"] + fp["b0"], 0)
+    h = jnp.maximum(_conv1x1(y, fp["w1"]) + fp["b1"], 0)
     h = jnp.maximum(
         jax.lax.conv_general_dilated(
             h, fp["w2"], (1, 1), [(1, 1), (1, 1)],
@@ -96,23 +99,17 @@ def lite_residual_fast(x: jax.Array, fp: Dict) -> jax.Array:
         + fp["b2"],
         0,
     )
-    out = (
-        jax.lax.dot_general(
-            h, fp["w3"], (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        + fp["b3"]
-    )
-    if "w4" in fp:
-        residual = (
-            jax.lax.dot_general(
-                x, fp["w4"], (((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-            + fp["b4"]
-        )
-    else:
-        residual = x
+    out = _conv1x1(h, fp["w3"]) + fp["b3"]
+    residual = _conv1x1(x, fp["w4"]) + fp["b4"] if "w4" in fp else x
     return out + residual
+
+
+def lite_residual_hybrid(x: jax.Array, fp: Dict) -> jax.Array:
+    """Pallas fused kernel at small spatial sizes (where it measured 3x
+    faster than XLA), XLA convs at large (where XLA's own fusion wins)."""
+    if "w4" not in fp and x.shape[1] <= 16 and x.shape[1] >= 8:
+        return lite_residual_pallas(x, fp)
+    return lite_residual_fast(x, fp)
 
 
 def lite_residual_pallas(x: jax.Array, fp: Dict) -> jax.Array:
