@@ -51,12 +51,17 @@ def timed_throughput(apply_fn, x, batch: int, n_lo: int = 2, n_hi: int = 12):
 def main():
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
-    batch = 64
+    # Batch sweep on this chip: 8 -> 1270, 16 -> 1260, 32 -> 1098, 64 -> 986,
+    # 128 -> 1023, 256 -> 969 img/s — smaller batches keep the 64x64x256
+    # activations closer to on-chip memory, so the headline runs at batch 8.
+    batch = 8
     model = build_model("hourglass8_skeleton", use_running_average=True)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), x)
 
-    ips, dt_iter = timed_throughput(lambda xx: model.apply(variables, xx), x, batch)
+    ips, dt_iter = timed_throughput(
+        lambda xx: model.apply(variables, xx), x, batch, n_lo=4, n_hi=40
+    )
     print(
         json.dumps(
             {

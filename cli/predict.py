@@ -1,0 +1,100 @@
+"""Qualitative prediction on ad-hoc images — replaces the reference's
+``mode='test', test_mode='test'`` path (/root/reference/train.py:1288-1327):
+load an image, resize to the input size, run the model, save a figure with
+the input, the argmax mask/skeleton/keypoint maps, and decoded keypoints
+drawn on the image (threshold decode, train.py:1060-1068)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .common import add_model_args, build_model_from_args
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_model_args(p)
+    p.add_argument("image", nargs="?", default=None,
+                   help="path to an input photo (omit for a synthetic image)")
+    p.add_argument("--load", default=None, help="checkpoint to use")
+    p.add_argument("--input-size", type=int, default=256)
+    p.add_argument("--out", default="prediction.png")
+    p.add_argument("--threshold", type=float, default=1.0,
+                   help="peak confidence threshold (reference `threshold`)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from progressive_process_for_human_pose_estimation_tpu.eval import argmax_decode
+    from progressive_process_for_human_pose_estimation_tpu.train import (
+        create_train_state,
+        restore_checkpoint,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.utils.metrics import (
+        colorize_class_map,
+    )
+
+    size = args.input_size
+    if args.image:
+        from PIL import Image
+
+        img = np.asarray(
+            Image.open(args.image).convert("RGB").resize((size, size)), np.float32
+        ) / 255.0
+    else:
+        from progressive_process_for_human_pose_estimation_tpu.data.synthetic import (
+            synthetic_coco_manifest,
+            synthetic_image,
+        )
+
+        m = synthetic_coco_manifest(n_images=1, img_size=size, seed=1)
+        img = synthetic_image(m["keypoints"][0], img_size=size, seed=1)
+
+    model = build_model_from_args(args, use_running_average=True)
+    x = jnp.asarray(img)[None]
+    state = create_train_state(model, jax.random.PRNGKey(0), x)
+    if args.load:
+        state = restore_checkpoint(args.load, state)
+
+    outs = model.apply({"params": state.params, "batch_stats": state.batch_stats}, x)
+    if not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    outs = [jax.nn.softmax(o.astype(jnp.float32), axis=-1) for o in outs]
+
+    coords, valid = argmax_decode(outs[-1], threshold=args.threshold,
+                                  scale=size // outs[-1].shape[1])
+    coords, valid = np.asarray(coords[0]), np.asarray(valid[0])
+
+    n_panels = 1 + len(outs) + 1
+    fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 4))
+    axes[0].imshow(img)
+    axes[0].set_title("input")
+    titles = ["mask", "skeleton", "keypoints"]
+    for i, o in enumerate(outs):
+        cls = np.argmax(np.asarray(o[0]), axis=-1)
+        axes[1 + i].imshow(colorize_class_map(cls, o.shape[-1]))
+        axes[1 + i].set_title(titles[i] if i < len(titles) else f"stage {i}")
+    axes[-1].imshow(img)
+    for j, ((px, py), ok) in enumerate(zip(coords, valid)):
+        if ok:
+            axes[-1].plot(px, py, "o", markersize=4)
+    axes[-1].set_title("decoded keypoints")
+    for ax in axes:
+        ax.axis("off")
+    fig.savefig(args.out, bbox_inches="tight")
+    print(f"wrote {args.out} ({int(valid.sum())} peaks above threshold)")
+
+
+if __name__ == "__main__":
+    main()

@@ -7,5 +7,10 @@ from .manifests import (  # noqa: F401
     mpii_split,
     save_manifest,
 )
-from .pipeline import HostLoader, make_coco_batch_fn, make_mpii_batch_fn  # noqa: F401
+from .pipeline import (  # noqa: F401
+    HostLoader,
+    make_coco_batch_fn,
+    make_lsp_batch_fn,
+    make_mpii_batch_fn,
+)
 from .synthetic import synthetic_coco_manifest, synthetic_image  # noqa: F401

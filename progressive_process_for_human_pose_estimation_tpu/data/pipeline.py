@@ -157,6 +157,30 @@ def make_mpii_batch_fn(skeleton: np.ndarray, inputsize: int = 256):
     return batch_fn
 
 
+def make_lsp_batch_fn(inputsize: int = 256, sigma: float = 1.0):
+    """LSP-path batch renderer (/root/reference/data_argumentation.py:10-52):
+    plain resize, 14-joint NORMALIZED Gaussian heatmaps (1/(2πσ²) form) in
+    /4 map space. Single person per image."""
+    map_size = inputsize // 4
+
+    def per_sample(image, kps, src_hw):
+        kp_xy = resize_coords_plain(kps[..., :2], src_hw[0], src_hw[1], inputsize)
+        vis = kps[..., 2] >= 0  # LSP joints.mat flag; reference renders all
+        return {
+            "image": image,
+            "gauss_maps": gaussian_heatmaps(
+                kp_xy[None], vis[None], map_size, map_size, sigma=sigma,
+                normalized=True,
+            ),
+        }
+
+    @jax.jit
+    def batch_fn(images, keypoints, src_dims):
+        return jax.vmap(per_sample)(images, keypoints, src_dims)
+
+    return batch_fn
+
+
 class HostLoader:
     """Minimal host-side image feeder: decode + staging resize only.
 
