@@ -20,6 +20,9 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--latency", action="store_true",
                    help="also report bs=1 latency (reference's 100-run loop)")
+    p.add_argument("--train", action="store_true",
+                   help="measure the full training step (fwd+bwd+Adam) instead "
+                        "of inference")
     p.add_argument("--json", action="store_true", help="print one JSON line")
     return p.parse_args(argv)
 
@@ -33,12 +36,51 @@ def main(argv=None):
     )
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = build_model_from_args(args, use_running_average=True)
     x = jax.random.normal(
         jax.random.PRNGKey(1), (args.batch, args.input_size, args.input_size, 3), dtype
     )
-    variables = model.init(jax.random.PRNGKey(0), x)
-    apply_fn = lambda xx: model.apply(variables, xx)
+
+    if args.train:
+        import numpy as np
+        import optax
+
+        from progressive_process_for_human_pose_estimation_tpu.losses import (
+            ce_loss,
+        )
+        from progressive_process_for_human_pose_estimation_tpu.train import (
+            create_train_state,
+        )
+
+        model = build_model_from_args(args)  # train mode (batch stats update)
+        state = create_train_state(model, jax.random.PRNGKey(0), x)
+        map_size = args.input_size // 4
+        rng = np.random.default_rng(0)
+
+        def step_fn(xx):
+            # CE of every stack vs a fixed target: representative fwd+bwd+Adam.
+            target = jnp.zeros((args.batch, map_size, map_size), jnp.int32)
+
+            def loss_fn(params, batch_stats):
+                outs, upd = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, xx,
+                    mutable=["batch_stats"],
+                )
+                if not isinstance(outs, (list, tuple)):
+                    outs = [outs]
+                return sum(ce_loss(o, target) for o in outs), upd
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats
+            )
+            updates, _ = state.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return jax.tree.leaves(new_params)[0]
+
+        apply_fn = step_fn
+    else:
+        model = build_model_from_args(args, use_running_average=True)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        apply_fn = lambda xx: model.apply(variables, xx)
 
     ips, dt = measure_throughput(apply_fn, x)
     out = {
@@ -47,7 +89,7 @@ def main(argv=None):
         "images_per_sec": round(ips, 1),
         "sec_per_batch": round(dt, 6),
     }
-    if args.latency:
+    if args.latency and not args.train:
         x1 = x[:1]
         lat_min, lat_mean = measure_latency(lambda xx: model.apply(variables, xx), x1)
         out["latency_bs1_min_ms"] = round(lat_min * 1e3, 3)
