@@ -26,6 +26,7 @@ def make_train_step(
     objective: Callable,
     donate: bool = True,
     check_finite: bool = True,
+    skip_nonfinite: bool = False,
 ):
     """Build the jit-compiled train step.
 
@@ -33,6 +34,10 @@ def make_train_step(
       model: a flax module whose __call__ returns a list of NHWC logits (or
         a single array for MaskNet-style models).
       objective: (outputs, batch, epoch) -> (loss, metrics dict).
+      skip_nonfinite: when True, a step whose loss is NaN/Inf leaves params,
+        optimizer state, and BN statistics untouched (the step counter still
+        advances) — a production upgrade over the reference's NaN print
+        (/root/reference/try_skeleton_and_keypoints.py:436-437).
     Returns:
       step(state, batch) -> (state, metrics). `batch` is a dict with key
       'image' plus whatever targets the objective reads.
@@ -54,9 +59,19 @@ def make_train_step(
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, state.epoch)
+        ok = jnp.isfinite(loss)
         if check_finite:
-            metrics["finite"] = jnp.isfinite(loss)
+            metrics["finite"] = ok
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        if skip_nonfinite:
+            keep = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new, old
+            )
+            new_state = new_state.replace(
+                params=keep(new_state.params, state.params),
+                opt_state=keep(new_state.opt_state, state.opt_state),
+                batch_stats=keep(new_state.batch_stats, state.batch_stats),
+            )
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
