@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--input-size", type=int, default=256,
                    help="must be divisible by 2**(2 + hourglass depth)")
+    p.add_argument("--prefetch-threads", type=int, default=0,
+                   help="decode images with N threads + prefetch queue "
+                        "(the reference's num_workers analogue; 0 = inline)")
     return p.parse_args(argv)
 
 
@@ -66,6 +69,12 @@ def main(argv=None):
     rescale = size * 320 // 256
     manifest, loader = build_loader_from_args(args)
     loader.staging_size = size if args.no_augment else rescale
+    if args.prefetch_threads > 0:
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            PrefetchLoader,
+        )
+
+        loader = PrefetchLoader(loader, num_threads=args.prefetch_threads)
     batch_fn = make_coco_batch_fn(
         manifest["skeleton"], inputsize=size, rescale_size=rescale,
         augment=not args.no_augment,

@@ -9,6 +9,7 @@ from .manifests import (  # noqa: F401
 )
 from .pipeline import (  # noqa: F401
     HostLoader,
+    PrefetchLoader,
     make_coco_batch_fn,
     make_lsp_batch_fn,
     make_mpii_batch_fn,

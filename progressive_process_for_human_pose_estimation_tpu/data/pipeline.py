@@ -157,6 +157,69 @@ def make_mpii_batch_fn(skeleton: np.ndarray, inputsize: int = 256):
     return batch_fn
 
 
+class PrefetchLoader:
+    """Threaded, prefetching wrapper around :class:`HostLoader`.
+
+    The reference hides its host-side label/augment cost behind 16-20 forked
+    DataLoader workers (/root/reference/train.py:821-826). Here the host work
+    is only JPEG decode + resize, so a thread pool (PIL releases the GIL in
+    its C codecs) plus a bounded prefetch queue keeps the TPU fed: batch i+1
+    decodes while batch i trains.
+    """
+
+    def __init__(self, loader: "HostLoader", num_threads: int = 8, prefetch: int = 2):
+        self.loader = loader
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        manifest = self.loader.manifest
+        n = len(manifest["image_names"])
+        order = (
+            self.loader.rng.permutation(n) if self.loader.shuffle else np.arange(n)
+        )
+        bs = self.loader.batch_size
+        stop = n - n % bs if self.loader.drop_remainder else n
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def assemble(idx):
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                images = list(pool.map(self.loader._load_image, idx))
+            batch = {
+                "images": np.stack(images),
+                "src_dims": manifest["image_dims"][idx],
+            }
+            for key in ("keypoints", "polygons", "n_vertices", "n_persons",
+                        "head_rects"):
+                if key in manifest:
+                    batch[key] = manifest[key][idx]
+            return batch
+
+        def producer():
+            try:
+                for start in range(0, stop, bs):
+                    q.put(assemble(order[start : start + bs]))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()
+
+
 def make_lsp_batch_fn(inputsize: int = 256, sigma: float = 1.0):
     """LSP-path batch renderer (/root/reference/data_argumentation.py:10-52):
     plain resize, 14-joint NORMALIZED Gaussian heatmaps (1/(2πσ²) form) in

@@ -164,3 +164,40 @@ class TestPipeline:
             jnp.asarray(host["src_dims"]),
         )
         assert out["image"].shape == (2, 256, 256, 3)
+
+
+class TestPrefetchLoader:
+    def test_same_batches_as_host_loader(self):
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            PrefetchLoader,
+        )
+
+        m = synthetic_coco_manifest(n_images=12, img_size=128)
+        plain = HostLoader(m, batch_size=4, staging_size=160, shuffle=True, seed=3)
+        wrapped = PrefetchLoader(
+            HostLoader(m, batch_size=4, staging_size=160, shuffle=True, seed=3),
+            num_threads=4,
+        )
+        a = list(plain)
+        b = list(wrapped)
+        assert len(a) == len(b) == 3
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["images"], bb["images"])
+            np.testing.assert_array_equal(ba["keypoints"], bb["keypoints"])
+
+    def test_prefetch_overlaps(self):
+        # Functional check only: iteration completes and yields all batches
+        # while the consumer is slow.
+        import time
+
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            PrefetchLoader,
+        )
+
+        m = synthetic_coco_manifest(n_images=8, img_size=64)
+        loader = PrefetchLoader(HostLoader(m, batch_size=2, staging_size=80), prefetch=2)
+        seen = 0
+        for _ in loader:
+            time.sleep(0.01)
+            seen += 1
+        assert seen == 4
