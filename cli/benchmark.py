@@ -10,7 +10,7 @@ import json
 import jax
 import jax.numpy as jnp
 
-from .common import add_model_args, build_model_from_args
+from .common import add_model_args, build_model_from_args, resolve_experiment
 
 
 def parse_args(argv=None):
@@ -24,7 +24,9 @@ def parse_args(argv=None):
                    help="measure the full training step (fwd+bwd+Adam) instead "
                         "of inference")
     p.add_argument("--json", action="store_true", help="print one JSON line")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    resolve_experiment(args)
+    return args
 
 
 def main(argv=None):

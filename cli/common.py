@@ -1,4 +1,11 @@
-"""Shared CLI plumbing: model/data construction from flags."""
+"""Shared CLI plumbing: experiment-config resolution + model/data construction.
+
+The reference configures runs by hand-editing module constants per script
+(/root/reference/train.py:39-97); here ``--experiment <name>`` resolves a
+:class:`~progressive_process_for_human_pose_estimation_tpu.config.ExperimentConfig`
+preset and any flag the user passes explicitly overrides it (flags default to
+None so "not given" is detectable).
+"""
 
 from __future__ import annotations
 
@@ -10,10 +17,14 @@ import numpy as np
 
 
 def add_model_args(p: argparse.ArgumentParser):
-    p.add_argument("--preset", default="progressive_mpii",
-                   help="model preset name (see models.PRESETS)")
+    p.add_argument("--preset", default=None,
+                   help="model preset name (see models.PRESETS); default "
+                        "progressive_mpii or the --experiment's model")
     p.add_argument("--features", type=int, default=None)
     p.add_argument("--hourglass-depth", type=int, default=None)
+    p.add_argument("--out-channels", default=None,
+                   help="override head channels: one int, or comma-separated "
+                        "ints for multi-stage presets (e.g. 14 for LSP)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
 
 
@@ -25,27 +36,74 @@ def build_model_from_args(args, **extra):
         kw["features"] = args.features
     if getattr(args, "hourglass_depth", None) is not None:
         kw["hourglass_depth"] = args.hourglass_depth
+    if getattr(args, "out_channels", None) is not None:
+        chans = [int(c) for c in str(args.out_channels).split(",")]
+        kw["out_channels"] = chans[0] if len(chans) == 1 else tuple(chans)
     kw.update(extra)
     return build_model(args.preset, **kw)
 
 
 def add_data_args(p: argparse.ArgumentParser):
-    p.add_argument("--dataset", default="synthetic",
-                   choices=["synthetic", "coco", "mpii"])
+    p.add_argument("--dataset", default=None,
+                   choices=["synthetic", "coco", "mpii", "lsp"])
     p.add_argument("--manifest", default=None, help="path to a saved .npz manifest")
     p.add_argument("--image-dir", default=None)
     p.add_argument("--coco-json", default=None)
-    p.add_argument("--mpii-mat", default=None)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--mpii-mat", default=None, help="MPII RELEASE .mat")
+    p.add_argument("--lsp-mat", default=None, help="LSP joints.mat")
+    p.add_argument("--split", default="all",
+                   choices=["all", "train", "eval", "test"],
+                   help="reference split to select (MPII i%%10 buckets, "
+                        "LSP shuffled i%%10==0 eval)")
+    p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--n-synthetic", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
 
 
-def build_loader_from_args(args, shuffle=True):
+def resolve_experiment(args):
+    """Fill every None-valued flag from the named EXPERIMENTS entry (or the
+    global defaults when no --experiment is given). Explicit flags win."""
+    cfg = None
+    name = getattr(args, "experiment", None)
+    if name:
+        from progressive_process_for_human_pose_estimation_tpu.config import (
+            EXPERIMENTS,
+        )
+
+        if name not in EXPERIMENTS:
+            raise SystemExit(
+                f"unknown experiment {name!r}; have {sorted(EXPERIMENTS)}"
+            )
+        cfg = EXPERIMENTS[name]
+
+    def fill(attr, cfg_value, default):
+        if getattr(args, attr, None) is None:
+            setattr(args, attr, cfg_value if cfg is not None else default)
+
+    fill("preset", cfg.model_preset if cfg else None, "progressive_mpii")
+    fill("dataset", cfg.dataset if cfg else None, "synthetic")
+    fill("batch_size", cfg.batch_size if cfg else None, 8)
+    fill("objective", cfg.objective if cfg else None, "progressive")
+    fill("lr", cfg.learning_rate if cfg else None, 1e-4)
+    fill("epochs", cfg.epochs if cfg else None, 300)
+    fill("input_size", cfg.input_size if cfg else None, 256)
+    if cfg is not None and not cfg.augment and hasattr(args, "no_augment"):
+        args.no_augment = True
+    return cfg
+
+
+def build_loader_from_args(args, shuffle=True, drop_remainder=None):
+    """Manifest (built or loaded) → split applied → HostLoader.
+
+    ``drop_remainder`` defaults to True for (shuffled) training and False for
+    deterministic eval passes — the reference evaluates every sample."""
     from progressive_process_for_human_pose_estimation_tpu.data import (
         HostLoader,
         build_coco_manifest,
+        build_lsp_manifest,
+        build_mpii_manifest,
         load_manifest,
+        select_split,
         synthetic_coco_manifest,
     )
 
@@ -56,15 +114,19 @@ def build_loader_from_args(args, shuffle=True):
             raise SystemExit("--coco-json or --manifest required for dataset=coco")
         manifest = build_coco_manifest(args.coco_json)
     elif args.dataset == "mpii":
-        from progressive_process_for_human_pose_estimation_tpu.data import (
-            build_mpii_manifest,
-        )
-
         if not args.mpii_mat:
             raise SystemExit("--mpii-mat or --manifest required for dataset=mpii")
         manifest = build_mpii_manifest(args.mpii_mat)
+    elif args.dataset == "lsp":
+        if not args.lsp_mat:
+            raise SystemExit("--lsp-mat or --manifest required for dataset=lsp")
+        manifest = build_lsp_manifest(args.lsp_mat, args.image_dir or "")
     else:
         manifest = synthetic_coco_manifest(n_images=args.n_synthetic, seed=args.seed)
+
+    split = getattr(args, "split", "all")
+    if split != "all":
+        manifest = select_split(manifest, split, seed=args.seed)
 
     loader = HostLoader(
         manifest,
@@ -72,5 +134,6 @@ def build_loader_from_args(args, shuffle=True):
         batch_size=args.batch_size,
         seed=args.seed,
         shuffle=shuffle,
+        drop_remainder=shuffle if drop_remainder is None else drop_remainder,
     )
     return manifest, loader

@@ -1,7 +1,9 @@
 """Two-model side-by-side PCKh — replaces
 /root/reference/performance_compare.py:618-762: load two presets (+optional
 checkpoints), run both on the same batches, report both detection-rate
-curves."""
+curves. With an MPII manifest the curves use REAL head-rect normalization
+(performance_compare.py:646-647: progressive scored with the background-
+channel offset, the baseline without)."""
 
 from __future__ import annotations
 
@@ -11,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import add_data_args, build_loader_from_args
+from .common import add_data_args, build_loader_from_args, resolve_experiment
 
 
 def parse_args(argv=None):
@@ -23,14 +25,17 @@ def parse_args(argv=None):
     p.add_argument("--load-b", default=None)
     p.add_argument("--features", type=int, default=None)
     p.add_argument("--hourglass-depth", type=int, default=None)
+    p.add_argument("--input-size", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    resolve_experiment(args)
+    return args
 
 
 def main(argv=None):
     args = parse_args(argv)
 
-    from progressive_process_for_human_pose_estimation_tpu.data import make_coco_batch_fn
+    from progressive_process_for_human_pose_estimation_tpu.data import make_render_fn
     from progressive_process_for_human_pose_estimation_tpu.eval import (
         PCKH_THRESHOLDS,
         pckh_curve,
@@ -41,8 +46,10 @@ def main(argv=None):
         restore_checkpoint,
     )
 
+    size = args.input_size
     manifest, loader = build_loader_from_args(args, shuffle=False)
-    batch_fn = make_coco_batch_fn(manifest["skeleton"], augment=False)
+    render_fn = make_render_fn(manifest, inputsize=size, augment=False)
+    loader.staging_size = render_fn.staging_size
 
     kw = dict(dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
               use_running_average=True)
@@ -52,7 +59,7 @@ def main(argv=None):
         kw["hourglass_depth"] = args.hourglass_depth
 
     results = {}
-    sample = jnp.zeros((args.batch_size, 256, 256, 3))
+    sample = jnp.zeros((args.batch_size, size, size, 3))
     for tag, preset, load, offset in [
         ("a", args.preset_a, args.load_a, True),
         ("b", args.preset_b, args.load_b, False),
@@ -73,18 +80,11 @@ def main(argv=None):
 
         curves = []
         for host in loader:
-            rendered = batch_fn(
-                jax.random.PRNGKey(0),
-                jnp.asarray(host["images"]),
-                jnp.asarray(host["keypoints"]),
-                jnp.asarray(host["polygons"]),
-                jnp.asarray(host["n_vertices"]),
-                jnp.asarray(host["n_persons"]),
-                jnp.asarray(host["src_dims"]),
-            )
+            rendered = dict(render_fn(jax.random.PRNGKey(0), host))
             n = rendered["image"].shape[0]
-            rect = jnp.asarray(
-                host.get("head_rects", np.tile([0, 0, 16, 16], (n, 1))), jnp.float32
+            rect = rendered.get(
+                "head_rect",
+                jnp.tile(jnp.asarray([0.0, 0.0, 16.0, 16.0]), (n, 1)),
             )
             acc = eval_batch(state.params, state.batch_stats, rendered["image"],
                              rendered["keypoint_map"], rect)

@@ -1,6 +1,13 @@
 """PCKh evaluation CLI — replaces /root/reference/train.py mode='test',
-test_mode='mpii' (train.py:1120-1146): run the model over an eval split,
+test_mode='mpii' (train.py:1120-1146): run the model over an eval/test split,
 accumulate per-image PCKh curves on device, print/plot the mean curve.
+
+MPII manifests evaluate with REAL head-rect normalization (the rect scaled
+into /4 map space, train.py:692-694 → PCKh standard = 0.6 × diagonal,
+train.py:771). COCO/synthetic manifests have no head rects — a fixed
+stand-in rect is substituted and reported as such. LSP manifests score the
+Gaussian-heatmap PCKh (head-neck/2 standard,
+/root/reference/only_one_hourgless.py:285-313).
 """
 
 from __future__ import annotations
@@ -11,30 +18,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import add_data_args, add_model_args, build_loader_from_args, build_model_from_args
+from .common import (
+    add_data_args,
+    add_model_args,
+    build_loader_from_args,
+    build_model_from_args,
+    resolve_experiment,
+)
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_model_args(p)
     add_data_args(p)
+    p.add_argument("--experiment", default=None,
+                   help="config.EXPERIMENTS preset (explicit flags override)")
     p.add_argument("--load", default=None, help="checkpoint to evaluate")
     p.add_argument("--stage", type=int, default=-1,
                    help="which stage output to score (default: last)")
     p.add_argument("--no-background-offset", action="store_true",
                    help="baseline-model channel indexing (PCKh_hourglass)")
     p.add_argument("--plot", default=None, help="save detection-rate curve PNG")
-    p.add_argument("--input-size", type=int, default=256)
-    return p.parse_args(argv)
+    p.add_argument("--input-size", type=int, default=None)
+    args = p.parse_args(argv)
+    resolve_experiment(args)
+    return args
 
 
 def main(argv=None):
     args = parse_args(argv)
 
-    from progressive_process_for_human_pose_estimation_tpu.data import make_coco_batch_fn
+    from progressive_process_for_human_pose_estimation_tpu.data import make_render_fn
     from progressive_process_for_human_pose_estimation_tpu.eval import (
         PCKH_THRESHOLDS,
         pckh_curve,
+        pckh_simple,
     )
     from progressive_process_for_human_pose_estimation_tpu.train import (
         create_train_state,
@@ -42,14 +60,9 @@ def main(argv=None):
     )
 
     size = args.input_size
-    rescale = size * 320 // 256
     manifest, loader = build_loader_from_args(args, shuffle=False)
-    # No augmentation at eval: stage directly at the input size (the crop in
-    # the renderer is then an identity), like the reference's eval resize.
-    loader.staging_size = size
-    batch_fn = make_coco_batch_fn(
-        manifest["skeleton"], inputsize=size, rescale_size=rescale, augment=False
-    )
+    render_fn = make_render_fn(manifest, inputsize=size, augment=False)
+    loader.staging_size = render_fn.staging_size
 
     model = build_model_from_args(args, use_running_average=True)
     sample = jnp.zeros((args.batch_size, size, size, 3))
@@ -57,34 +70,43 @@ def main(argv=None):
     if args.load:
         state = restore_checkpoint(args.load, state)
 
-    @jax.jit
-    def eval_batch(params, batch_stats, images, target, rect):
+    def outputs_of(params, batch_stats, images):
         outs = model.apply({"params": params, "batch_stats": batch_stats}, images)
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
-        hm = jax.nn.softmax(outs[args.stage].astype(jnp.float32), axis=-1)
-        res = pckh_curve(hm, target, rect,
-                         background_offset=not args.no_background_offset)
-        return res.accuracy
+        return outs[args.stage].astype(jnp.float32)
+
+    if render_fn.kind == "lsp":
+        # LSP path: Gaussian-target PCKh (head-neck/2 standard).
+        @jax.jit
+        def eval_batch(params, batch_stats, batch):
+            out = outputs_of(params, batch_stats, batch["image"])
+            acc = pckh_simple(out, batch["gauss_maps"])
+            return jnp.tile(acc, (batch["image"].shape[0], 11))
+
+    else:
+
+        @jax.jit
+        def eval_batch(params, batch_stats, batch):
+            hm = jax.nn.softmax(outputs_of(params, batch_stats, batch["image"]),
+                                axis=-1)
+            res = pckh_curve(hm, batch["keypoint_map"], batch["head_rect"],
+                             background_offset=not args.no_background_offset)
+            return res.accuracy
+
+    if render_fn.kind == "coco":
+        print("note: COCO/synthetic manifests carry no head rects; using a "
+              "fixed 16px stand-in rect for the PCKh standard")
 
     curves = []
     for host in loader:
-        rendered = batch_fn(
-            jax.random.PRNGKey(0),
-            jnp.asarray(host["images"]),
-            jnp.asarray(host["keypoints"]),
-            jnp.asarray(host["polygons"]),
-            jnp.asarray(host["n_vertices"]),
-            jnp.asarray(host["n_persons"]),
-            jnp.asarray(host["src_dims"]),
-        )
-        # Synthetic/COCO path has no head rects; use the label-map extent as
-        # a stand-in standard when absent (real MPII eval passes head_rect).
-        n = rendered["image"].shape[0]
-        rect = jnp.asarray(host.get("head_rects", np.tile([0, 0, 16, 16], (n, 1))),
-                           jnp.float32)
-        acc = eval_batch(state.params, state.batch_stats, rendered["image"],
-                         rendered["keypoint_map"], rect)
+        batch = dict(render_fn(jax.random.PRNGKey(0), host))
+        if "head_rect" not in batch and render_fn.kind != "lsp":
+            n = batch["image"].shape[0]
+            batch["head_rect"] = jnp.tile(
+                jnp.asarray([0.0, 0.0, 16.0, 16.0]), (n, 1)
+            )
+        acc = eval_batch(state.params, state.batch_stats, batch)
         curves.append(np.asarray(acc))
 
     curve = np.nanmean(np.concatenate(curves, axis=0), axis=0)

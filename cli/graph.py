@@ -10,7 +10,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from .common import add_model_args, build_model_from_args
+from .common import add_model_args, build_model_from_args, resolve_experiment
 
 
 def parse_args(argv=None):
@@ -20,7 +20,9 @@ def parse_args(argv=None):
     p.add_argument("--hlo-out", default=None,
                    help="write optimized HLO text to this path")
     p.add_argument("--depth", type=int, default=2, help="tabulate depth")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    resolve_experiment(args)
+    return args
 
 
 def main(argv=None):

@@ -9,7 +9,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from .common import add_model_args, build_model_from_args
+from .common import add_model_args, build_model_from_args, resolve_experiment
 
 
 def parse_args(argv=None):
@@ -19,7 +19,9 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--dump-params", action="store_true",
                    help="per-parameter table (name, shape, size)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    resolve_experiment(args)
+    return args
 
 
 def main(argv=None):

@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import add_model_args, build_model_from_args
+from .common import add_model_args, build_model_from_args, resolve_experiment
 
 
 def parse_args(argv=None):
@@ -26,7 +26,9 @@ def parse_args(argv=None):
     p.add_argument("--out", default="prediction.png")
     p.add_argument("--threshold", type=float, default=1.0,
                    help="peak confidence threshold (reference `threshold`)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    resolve_experiment(args)
+    return args
 
 
 def main(argv=None):

@@ -1,9 +1,18 @@
 """Training CLI — replaces /root/reference/train.py main() (mode='train',
 train.py:794-987) with config flags instead of edited module constants.
 
-Example (synthetic smoke run):
+Dataset paths are schema-dispatched (COCO / MPII / LSP renderers —
+/root/reference/train.py:204-340, 649-708, data_argumentation.py:10-52), and
+``--experiment <name>`` resolves a full config preset (model + objective +
+data) from config.EXPERIMENTS.
+
+Examples:
+    # synthetic smoke run
     python -m cli.train --preset progressive_coco --epochs 2 \
         --features 32 --hourglass-depth 2 --batch-size 4 --n-synthetic 8
+    # the reference's canonical workflow: MPII train split
+    python -m cli.train --experiment progressive_mpii_final \
+        --mpii-mat RELEASE.mat --image-dir images/ --split train
 """
 
 from __future__ import annotations
@@ -14,17 +23,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import add_data_args, add_model_args, build_loader_from_args, build_model_from_args
+from .common import (
+    add_data_args,
+    add_model_args,
+    build_loader_from_args,
+    build_model_from_args,
+    resolve_experiment,
+)
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_model_args(p)
     add_data_args(p)
-    p.add_argument("--objective", default="progressive",
+    p.add_argument("--experiment", default=None,
+                   help="config.EXPERIMENTS preset resolving model/objective/"
+                        "data defaults (explicit flags override)")
+    p.add_argument("--objective", default=None,
                    help="objective name (see train.objectives.OBJECTIVES)")
-    p.add_argument("--epochs", type=int, default=300)
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
     p.add_argument("--save", default=None, help="checkpoint path (per-epoch save)")
     p.add_argument("--load", default=None, help="checkpoint to resume/fine-tune from")
     p.add_argument("--retrain", action="store_true",
@@ -32,28 +50,34 @@ def parse_args(argv=None):
     p.add_argument("--fine-tune", action="store_true",
                    help="shape-filtered warm start (reference `fine_tune`)")
     p.add_argument("--logdir", default=None, help="TensorBoard runs/ dir")
-    p.add_argument("--experiment", default="experiment")
+    p.add_argument("--run-name", default=None,
+                   help="TB run directory name (default: experiment or preset)")
     p.add_argument("--log-every", type=int, default=50)
-    p.add_argument("--image-every", type=int, default=100)
+    p.add_argument("--image-every", type=int, default=100,
+                   help="log prediction image grids every N steps (0 = off; "
+                        "reference cadence: train.py:915-956)")
     p.add_argument("--no-augment", action="store_true")
-    p.add_argument("--input-size", type=int, default=256,
+    p.add_argument("--input-size", type=int, default=None,
                    help="must be divisible by 2**(2 + hourglass depth)")
     p.add_argument("--prefetch-threads", type=int, default=0,
                    help="decode images with N threads + prefetch queue "
                         "(the reference's num_workers analogue; 0 = inline)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    resolve_experiment(args)
+    return args
 
 
 def main(argv=None):
     args = parse_args(argv)
 
-    from progressive_process_for_human_pose_estimation_tpu.data import make_coco_batch_fn
+    from progressive_process_for_human_pose_estimation_tpu.data import make_render_fn
     from progressive_process_for_human_pose_estimation_tpu.parallel import (
         make_mesh,
-        shard_batch,
     )
     from progressive_process_for_human_pose_estimation_tpu.train import (
         create_train_state,
+        fit_epoch,
+        load_loss_history,
         make_train_step,
         maybe_resume,
         save_checkpoint,
@@ -66,19 +90,15 @@ def main(argv=None):
     )
 
     size = args.input_size
-    rescale = size * 320 // 256
     manifest, loader = build_loader_from_args(args)
-    loader.staging_size = size if args.no_augment else rescale
+    render_fn = make_render_fn(manifest, inputsize=size, augment=not args.no_augment)
+    loader.staging_size = render_fn.staging_size
     if args.prefetch_threads > 0:
         from progressive_process_for_human_pose_estimation_tpu.data import (
             PrefetchLoader,
         )
 
         loader = PrefetchLoader(loader, num_threads=args.prefetch_threads)
-    batch_fn = make_coco_batch_fn(
-        manifest["skeleton"], inputsize=size, rescale_size=rescale,
-        augment=not args.no_augment,
-    )
 
     model = build_model_from_args(args)
     sample = jnp.zeros((args.batch_size, size, size, 3))
@@ -91,34 +111,54 @@ def main(argv=None):
     step_fn = make_train_step(model, objective, donate=False)
     n_dev = len(jax.devices())
     mesh = make_mesh() if n_dev > 1 and args.batch_size % n_dev == 0 else None
-    logger = MetricLogger(args.logdir, args.experiment)
+    run_name = args.run_name or args.experiment or args.preset
+    logger = MetricLogger(args.logdir, run_name)
+    if args.load and not args.retrain:
+        logger.loss_history = load_loss_history(args.load) or logger.loss_history
+
+    # Prediction-grid logging (train.py:915-956): forward the current batch
+    # and render argmax colormap grids under the reference tag names.
+    forward = jax.jit(
+        lambda params, batch_stats, images: model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            mutable=["batch_stats"],
+        )[0]
+    )
+
+    def image_fn(i, st, batch):
+        outs = forward(st.params, st.batch_stats, batch["image"])
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        logger.log_images(
+            int(st.step),
+            np.asarray(batch["image"], np.float32),
+            [np.asarray(o, np.float32) for o in outs],
+        )
+
+    steps_per_epoch = len(loader)
+
+    def log_fn(i, m):
+        step = i + steps_per_epoch * epoch
+        logger.log_scalars(step, {k: v for k, v in m.items() if k != "finite"})
+        logger.print_progress(epoch, args.epochs, i, steps_per_epoch, m["loss"])
 
     key = jax.random.PRNGKey(args.seed + 1)
     start_epoch = int(state.epoch)
     for epoch in range(start_epoch, args.epochs):
-        for i, host in enumerate(loader):
-            key, sub = jax.random.split(key)
-            rendered = batch_fn(
-                sub,
-                jnp.asarray(host["images"]),
-                jnp.asarray(host["keypoints"]),
-                jnp.asarray(host["polygons"]),
-                jnp.asarray(host["n_vertices"]),
-                jnp.asarray(host["n_persons"]),
-                jnp.asarray(host["src_dims"]),
-            )
-            batch = dict(rendered)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            state, metrics = step_fn(state, batch)
-            if i % args.log_every == 0:
-                m = jax.device_get(metrics)
-                step = i + len(loader) * epoch
-                logger.log_scalars(step, {k: v for k, v in m.items() if k != "finite"})
-                logger.print_progress(epoch, args.epochs, i, len(loader), m["loss"])
-        state = state.replace(epoch=state.epoch + 1)
+        state, _, key = fit_epoch(
+            step_fn,
+            state,
+            loader,
+            mesh=mesh,
+            log_every=args.log_every,
+            log_fn=log_fn,
+            render_fn=render_fn,
+            key=key,
+            image_every=args.image_every if args.logdir else 0,
+            image_fn=image_fn,
+        )
         if args.save:
-            save_checkpoint(args.save, state)
+            save_checkpoint(args.save, state, loss_history=logger.loss_history)
     if args.save:
         logger.save_loss_curve(args.save.rstrip("/") + "_loss.png")
     logger.close()

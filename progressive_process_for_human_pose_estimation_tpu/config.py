@@ -43,9 +43,9 @@ EXPERIMENTS = {
     "progressive_2stage": ExperimentConfig(
         name="progressive_2stage",
         model_preset="progressive_2stage",
-        objective="progressive",
+        objective="progressive_2stage",
         dataset="coco",
-        notes="bg mask stage + keypoint stage",
+        notes="bg mask stage (CE) + 17-ch keypoint stage (MSE on Gaussians)",
     ),
     # BASELINE config 3: "8-stack hourglass + skeleton-branch custom loss
     # (try_skeleton_and_keypoints)" — the flagship/bench model.

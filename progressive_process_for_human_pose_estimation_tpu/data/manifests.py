@@ -137,6 +137,63 @@ def mpii_split(n: int):
     return np.nonzero(r >= 3)[0], np.nonzero((r >= 1) & (r < 3))[0], np.nonzero(r < 1)[0]
 
 
+# Manifest keys that are NOT per-sample rows (never sliced by a split).
+_GLOBAL_KEYS = frozenset({"skeleton", "truncation_counts"})
+
+
+def manifest_kind(manifest: Manifest) -> str:
+    """Classify a manifest by schema: 'coco' (packed polygons + multi-person
+    keypoints), 'mpii' (single person + head rects), or 'lsp' (single person,
+    14 joints, Gaussian-target path)."""
+    if "polygons" in manifest:
+        return "coco"
+    if "head_rects" in manifest:
+        return "mpii"
+    return "lsp"
+
+
+def apply_split(manifest: Manifest, indices: np.ndarray) -> Manifest:
+    """Slice every per-sample array of a manifest down to ``indices``;
+    global arrays (skeleton, truncation counts) pass through unchanged."""
+    n = len(manifest["image_names"])
+    out = {}
+    for k, v in manifest.items():
+        if k not in _GLOBAL_KEYS and np.ndim(v) >= 1 and len(v) == n:
+            out[k] = v[indices]
+        else:
+            out[k] = v
+    return out
+
+
+def select_split(manifest: Manifest, split: Optional[str], seed: int = 0) -> Manifest:
+    """Apply the reference's named split to a manifest.
+
+    MPII: deterministic i%10 buckets over the kept single-person samples
+    (make_train_eval_test_mpii.py:100-107 — i is the kept-sample counter,
+    exactly the manifest row index here). LSP: shuffled i%10==0 → eval
+    (make_train_eval_set.py:7-20). COCO has no in-file split — the reference
+    uses separate train/val JSON files, so requesting one is an error.
+    """
+    if split in (None, "all"):
+        return manifest
+    kind = manifest_kind(manifest)
+    n = len(manifest["image_names"])
+    if kind == "mpii":
+        train, eval_, test = mpii_split(n)
+        table = {"train": train, "eval": eval_, "test": test}
+    elif kind == "lsp":
+        train, eval_ = lsp_split(n, seed)
+        table = {"train": train, "eval": eval_}
+    else:
+        raise ValueError(
+            "COCO manifests carry no split — build one per JSON file "
+            "(train/val), as the reference does (/root/reference/train.py:66-74)"
+        )
+    if split not in table:
+        raise ValueError(f"unknown split {split!r} for {kind}; have {sorted(table)}")
+    return apply_split(manifest, table[split])
+
+
 # --------------------------------------------------------------------------
 # COCO (pure-python JSON indexer — replaces pycocotools)
 # --------------------------------------------------------------------------

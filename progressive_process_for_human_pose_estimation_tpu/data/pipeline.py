@@ -33,7 +33,7 @@ from ..targets import (
     rasterize_points,
     rasterize_polygons,
 )
-from .manifests import Manifest
+from .manifests import Manifest, manifest_kind
 
 
 def make_coco_batch_fn(
@@ -122,10 +122,14 @@ def make_coco_batch_fn(
     return batch_fn
 
 
-def make_mpii_batch_fn(skeleton: np.ndarray, inputsize: int = 256):
+def make_mpii_batch_fn(
+    skeleton: np.ndarray, inputsize: int = 256, render_gauss: bool = False
+):
     """MPII-path batch renderer (/root/reference/train.py:649-708): plain
     resize, per-joint size-1 ellipses, skeleton lines, head rect scaled into
-    map space. Single person per image."""
+    map space. Single person per image. ``render_gauss`` adds the baseline
+    model's unnormalized σ=1 Gaussian targets drawn from the same /4-space
+    coordinates (/root/reference/hourglass_compare.py:718-737)."""
     map_size = inputsize // 4
     sk = jnp.asarray(skeleton)
 
@@ -140,7 +144,7 @@ def make_mpii_batch_fn(skeleton: np.ndarray, inputsize: int = 256):
             ]
         )
         rect = head_rect * jnp.concatenate([scale, scale])
-        return {
+        out = {
             "image": image,
             "keypoint_map": rasterize_ellipses_1px(kp_xy, vis, map_size, map_size),
             "skeleton_map": rasterize_lines(
@@ -149,12 +153,81 @@ def make_mpii_batch_fn(skeleton: np.ndarray, inputsize: int = 256):
             ),
             "head_rect": rect,
         }
+        if render_gauss:
+            out["gauss_maps"] = gaussian_heatmaps(
+                kp_xy[None], vis[None], map_size, map_size
+            )
+        return out
 
     @jax.jit
     def batch_fn(images, keypoints, head_rects, src_dims):
         return jax.vmap(per_sample)(images, keypoints, head_rects, src_dims)
 
     return batch_fn
+
+
+class RenderFn:
+    """Schema-dispatched batch renderer: one callable interface over the
+    COCO/MPII/LSP batch functions so drivers never hard-code a dataset path
+    (the round-1 CLIs assumed the COCO schema and crashed on MPII manifests).
+
+    ``staging_size`` is the host-resize edge the paired :class:`HostLoader`
+    must use (COCO augment path stages at the Rescale(320) size,
+    /root/reference/train.py:250; everything else at the input size).
+    """
+
+    def __init__(self, kind: str, staging_size: int, fn, keys):
+        self.kind = kind
+        self.staging_size = staging_size
+        self._fn = fn
+        self._keys = keys
+
+    def __call__(self, key, host_batch: Dict[str, np.ndarray]):
+        args = [jnp.asarray(host_batch[k]) for k in self._keys]
+        if self.kind == "coco":
+            return self._fn(key, *args)
+        return self._fn(*args)  # mpii/lsp paths are deterministic
+
+
+def make_render_fn(
+    manifest: Manifest,
+    inputsize: int = 256,
+    augment: bool = True,
+    render_gauss: bool = True,
+    image_method: str = "bilinear",
+) -> RenderFn:
+    """Build the right jitted renderer for a manifest's schema.
+
+    - coco: full augmentation chain + class maps + Gaussians
+      (/root/reference/train.py:204-340);
+    - mpii: plain resize, ellipse/line class maps, scaled head rect
+      (+ Gaussians for the baseline model) (/root/reference/train.py:649-708,
+      hourglass_compare.py:686-770) — augment is ignored, as in the reference;
+    - lsp: plain resize + normalized Gaussians
+      (/root/reference/data_argumentation.py:10-52).
+    """
+    kind = manifest_kind(manifest)
+    if kind == "coco":
+        rescale = inputsize * 320 // 256
+        fn = make_coco_batch_fn(
+            manifest["skeleton"], inputsize=inputsize, rescale_size=rescale,
+            augment=augment, render_gauss=render_gauss, image_method=image_method,
+        )
+        return RenderFn(
+            "coco", rescale if augment else inputsize, fn,
+            ("images", "keypoints", "polygons", "n_vertices", "n_persons", "src_dims"),
+        )
+    if kind == "mpii":
+        from ..models.recursive import MPII_SKELETON
+
+        fn = make_mpii_batch_fn(
+            MPII_SKELETON, inputsize=inputsize, render_gauss=render_gauss
+        )
+        return RenderFn(
+            "mpii", inputsize, fn, ("images", "keypoints", "head_rects", "src_dims")
+        )
+    fn = make_lsp_batch_fn(inputsize=inputsize)
+    return RenderFn("lsp", inputsize, fn, ("images", "keypoints", "src_dims"))
 
 
 class PrefetchLoader:
@@ -192,16 +265,8 @@ class PrefetchLoader:
 
         def assemble(idx):
             with ThreadPoolExecutor(self.num_threads) as pool:
-                images = list(pool.map(self.loader._load_image, idx))
-            batch = {
-                "images": np.stack(images),
-                "src_dims": manifest["image_dims"][idx],
-            }
-            for key in ("keypoints", "polygons", "n_vertices", "n_persons",
-                        "head_rects"):
-                if key in manifest:
-                    batch[key] = manifest[key][idx]
-            return batch
+                loaded = list(pool.map(self.loader._load_image, idx))
+            return self.loader._pack_batch(idx, loaded)
 
         def producer():
             try:
@@ -270,17 +335,19 @@ class HostLoader:
         self.rng = np.random.default_rng(seed)
         self.drop_remainder = drop_remainder
 
-    def _load_image(self, idx: int) -> np.ndarray:
+    def _load_image(self, idx: int):
+        """Decode + staging-resize one image; returns (array, (h, w)) with
+        the ORIGINAL dims — the label-coordinate scalers need them
+        (/root/reference/train.py:655, 676-677), and the real MPII/LSP
+        manifests don't record dims (the reference reads them per sample)."""
         name = str(self.manifest["image_names"][idx])
         s = self.staging_size
         if name.startswith("synthetic_"):
             from .synthetic import synthetic_image
 
-            img = synthetic_image(
-                self.manifest["keypoints"][idx],
-                img_size=int(self.manifest["image_dims"][idx][0]),
-                seed=idx,
-            )
+            size = int(self.manifest["image_dims"][idx][0])
+            img = synthetic_image(self.manifest["keypoints"][idx], img_size=size,
+                                  seed=idx)
             from PIL import Image
 
             pil = Image.fromarray((img * 255).astype(np.uint8))
@@ -288,8 +355,19 @@ class HostLoader:
             from PIL import Image
 
             pil = Image.open(os.path.join(self.image_dir, name)).convert("RGB")
+        w, h = pil.size
         pil = pil.resize((s, s))
-        return np.asarray(pil, np.float32) / 255.0
+        return np.asarray(pil, np.float32) / 255.0, (h, w)
+
+    def _pack_batch(self, idx, loaded):
+        batch = {
+            "images": np.stack([im for im, _ in loaded]),
+            "src_dims": np.asarray([hw for _, hw in loaded], np.int32),
+        }
+        for key in ("keypoints", "polygons", "n_vertices", "n_persons", "head_rects"):
+            if key in self.manifest:
+                batch[key] = self.manifest[key][idx]
+        return batch
 
     def __len__(self):
         n = len(self.manifest["image_names"])
@@ -302,11 +380,4 @@ class HostLoader:
         stop = n - n % bs if self.drop_remainder else n
         for start in range(0, stop, bs):
             idx = order[start : start + bs]
-            batch = {
-                "images": np.stack([self._load_image(i) for i in idx]),
-                "src_dims": self.manifest["image_dims"][idx],
-            }
-            for key in ("keypoints", "polygons", "n_vertices", "n_persons", "head_rects"):
-                if key in self.manifest:
-                    batch[key] = self.manifest[key][idx]
-            yield batch
+            yield self._pack_batch(idx, [self._load_image(i) for i in idx])

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..models.recursive import COCO_SKELETON
-from .manifests import Manifest, N_JOINTS_COCO
+from .manifests import Manifest, N_JOINTS_COCO, N_JOINTS_LSP, N_JOINTS_MPII
 
 
 def synthetic_coco_manifest(
@@ -61,12 +61,77 @@ def synthetic_coco_manifest(
     }
 
 
+def synthetic_mpii_manifest(
+    n_images: int = 32, img_size: int = 256, seed: int = 0
+) -> Manifest:
+    """MPII-schema synthetic manifest: one person per image, 16 joints,
+    head rectangle around the head-top joint (id 9) — structurally identical
+    to :func:`..manifests.build_mpii_manifest` output so the whole MPII
+    train/eval path (renderer, splits, head-rect PCKh) runs without the real
+    RELEASE .mat."""
+    rng = np.random.default_rng(seed)
+    kps = np.zeros((n_images, N_JOINTS_MPII, 3), np.float32)
+    rects = np.zeros((n_images, 4), np.float32)
+    dims = np.full((n_images, 2), img_size, np.int32)
+    for i in range(n_images):
+        cx, cy = rng.uniform(0.3 * img_size, 0.7 * img_size, 2)
+        spread = rng.uniform(0.1, 0.2) * img_size
+        xy = np.stack(
+            [
+                np.clip(cx + rng.normal(0, spread, N_JOINTS_MPII), 0, img_size - 1),
+                np.clip(cy + rng.normal(0, spread, N_JOINTS_MPII), 0, img_size - 1),
+            ],
+            axis=1,
+        )
+        vis = (rng.random(N_JOINTS_MPII) > 0.1).astype(np.float32)
+        kps[i] = np.concatenate([xy, vis[:, None]], axis=1)
+        hx, hy = xy[9]  # MPII joint 9 = head top
+        r = 0.08 * img_size
+        rects[i] = [hx - r, hy - r, hx + r, hy + r]
+    return {
+        "image_names": np.asarray([f"synthetic_{i:06d}" for i in range(n_images)]),
+        "image_dims": dims,
+        "keypoints": kps,
+        "head_rects": rects,
+        "release_indices": np.arange(n_images, dtype=np.int64),
+    }
+
+
+def synthetic_lsp_manifest(
+    n_images: int = 32, img_size: int = 256, seed: int = 0
+) -> Manifest:
+    """LSP-schema synthetic manifest: (N, 14, 3) joints, no head rects
+    (the LSP path renders normalized Gaussian targets —
+    /root/reference/data_argumentation.py:37-50)."""
+    rng = np.random.default_rng(seed)
+    kps = np.zeros((n_images, N_JOINTS_LSP, 3), np.float32)
+    dims = np.full((n_images, 2), img_size, np.int32)
+    for i in range(n_images):
+        cx, cy = rng.uniform(0.3 * img_size, 0.7 * img_size, 2)
+        spread = rng.uniform(0.1, 0.2) * img_size
+        xy = np.stack(
+            [
+                np.clip(cx + rng.normal(0, spread, N_JOINTS_LSP), 0, img_size - 1),
+                np.clip(cy + rng.normal(0, spread, N_JOINTS_LSP), 0, img_size - 1),
+            ],
+            axis=1,
+        )
+        kps[i] = np.concatenate([xy, np.ones((N_JOINTS_LSP, 1), np.float32)], axis=1)
+    return {
+        "image_names": np.asarray([f"synthetic_{i:06d}" for i in range(n_images)]),
+        "image_dims": dims,
+        "keypoints": kps,
+    }
+
+
 def synthetic_image(record_kps: np.ndarray, img_size: int = 256, seed: int = 0):
     """Render an image with Gaussian blobs at the (visible) joints over
     noise — enough signal for a loss to decrease in smoke training."""
     rng = np.random.default_rng(seed)
     img = rng.random((img_size, img_size, 3)).astype(np.float32) * 0.2
     ys, xs = np.mgrid[0:img_size, 0:img_size]
+    # Accept both (P, K, 3) multi-person and (K, 3) single-person records.
+    record_kps = np.asarray(record_kps).reshape(-1, record_kps.shape[-2], 3)
     for person in record_kps:
         for x, y, v in person:
             if v > 0:

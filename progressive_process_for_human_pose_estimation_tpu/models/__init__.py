@@ -33,69 +33,83 @@ N_KEYPOINT_MPII = 16
 N_SKELETON_MPII = 15
 
 
+def _preset(cls, **defaults):
+    """Preset factory: hard-coded defaults merged under caller overrides, so
+    flags like --out-channels can re-head any preset (e.g. LSP's 14 joints)."""
+
+    def make(**kw):
+        return cls(**{**defaults, **kw})
+
+    return make
+
+
 def _presets() -> Dict[str, Callable[..., Any]]:
     return {
         # Final progressive model, MPII config (/root/reference/train.py:545-601).
-        "progressive_mpii": lambda **kw: ProgressiveHourglass(
-            out_channels=(2, N_SKELETON_MPII + 1, N_KEYPOINT_MPII + 1), **kw
+        "progressive_mpii": _preset(
+            ProgressiveHourglass,
+            out_channels=(2, N_SKELETON_MPII + 1, N_KEYPOINT_MPII + 1),
         ),
         # Final progressive model, COCO config (try_with_aspp_remove_max_pool /
         # try_costomer_loss lineage; nOutChannels = 2/20/18).
-        "progressive_coco": lambda **kw: ProgressiveHourglass(
-            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1), **kw
+        "progressive_coco": _preset(
+            ProgressiveHourglass,
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1),
         ),
         # BASELINE config 2: 2-stack progressive with intermediate supervision
         # (/root/reference/try_different_stack_without_skeleton.py:26-30).
-        "progressive_2stage": lambda **kw: ProgressiveHourglass(
-            out_channels=(2, N_KEYPOINT_COCO), **kw
+        "progressive_2stage": _preset(
+            ProgressiveHourglass, out_channels=(2, N_KEYPOINT_COCO)
         ),
         # Hard input-masking ablation
         # (/root/reference/try_remove_background_and_costomer_loss.py:314-360).
-        "stage_sequential": lambda **kw: StageSequentialProgressive(
-            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1), **kw
+        "stage_sequential": _preset(
+            StageSequentialProgressive,
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1),
         ),
         # Classic Newell 4-stack baseline
         # (/root/reference/hourglass_compare.py:546-638).
-        "classic_baseline": lambda **kw: ClassicStackedHourglass(
-            n_stack=4, out_channels=N_KEYPOINT_MPII, **kw
+        "classic_baseline": _preset(
+            ClassicStackedHourglass, n_stack=4, out_channels=N_KEYPOINT_MPII
         ),
         # BASELINE config 1: single-stack hourglass, MPII 16-joint
         # (/root/reference/only_one_hourgless.py:215-254).
-        "only_one_hourglass": lambda **kw: StackedHourglass(
-            n_stack=1, out_channels=N_KEYPOINT_MPII, **kw
+        "only_one_hourglass": _preset(
+            StackedHourglass, n_stack=1, out_channels=N_KEYPOINT_MPII
         ),
         # 4-stack recursive hourglass with COCO Gaussian heads
         # (/root/reference/try_with_torch.py:246-298).
-        "recursive_4stack_coco": lambda **kw: StackedHourglass(
-            n_stack=4, out_channels=N_KEYPOINT_COCO, **kw
+        "recursive_4stack_coco": _preset(
+            StackedHourglass, n_stack=4, out_channels=N_KEYPOINT_COCO
         ),
         # BASELINE config 3 + headline bench model: 8-stack hourglass with the
         # joint 38-ch skeleton+keypoint merged output
         # (/root/reference/try_skeleton_and_keypoints.py:270-298, scaled to 8
         # stacks per BASELINE.json).
-        "hourglass8_skeleton": lambda **kw: StackedHourglass(
+        "hourglass8_skeleton": _preset(
+            StackedHourglass,
             n_stack=8,
             out_channels=38,
             variant="skeleton_merge",
             skeleton=COCO_SKELETON,
-            **kw,
         ),
         # Gated recursive progressive (argmax-mask feature gating,
         # /root/reference/try_costomer_loss.py:296-330).
-        "gated_progressive": lambda **kw: GatedRecursiveProgressive(
-            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1), **kw
+        "gated_progressive": _preset(
+            GatedRecursiveProgressive,
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1),
         ),
         # Derived-skeleton variant
         # (/root/reference/try_skeleton_from_keypoints.py:265-283).
-        "skeleton_from_keypoints": lambda **kw: StackedHourglass(
+        "skeleton_from_keypoints": _preset(
+            StackedHourglass,
             n_stack=4,
             out_channels=N_KEYPOINT_COCO + 1,
             variant="skeleton_from_keypoints",
             skeleton=COCO_SKELETON,
-            **kw,
         ),
         # Person/background mask network (/root/reference/train.py:604-622).
-        "masknet": lambda **kw: MaskNet(**kw),
+        "masknet": _preset(MaskNet),
     }
 
 

@@ -1,4 +1,5 @@
 from .checkpoint import (  # noqa: F401
+    load_loss_history,
     maybe_resume,
     restore_checkpoint,
     save_checkpoint,

@@ -23,8 +23,14 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState) -> None:
-    """Save {epoch, step, params, batch_stats, opt_state} (train.py:982-987)."""
+def save_checkpoint(path: str, state: TrainState, loss_history=None) -> None:
+    """Save {epoch, step, params, batch_stats, opt_state} (train.py:982-987).
+
+    ``loss_history`` (dict name → list/array of per-step values) gives the
+    reference's ``'loss'`` checkpoint-key parity — every script saves its
+    loss arrays alongside the weights (/root/reference/train.py:982-987,
+    try_with_aspp.py:402-406). Stored as ``loss_history.npz`` inside the
+    checkpoint directory so the orbax tree keeps a fixed template."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(
@@ -38,6 +44,22 @@ def save_checkpoint(path: str, state: TrainState) -> None:
             },
             force=True,
         )
+    if loss_history is not None:
+        np.savez(
+            os.path.join(path, "loss_history.npz"),
+            **{k: np.asarray(v, np.float64) for k, v in loss_history.items()},
+        )
+
+
+def load_loss_history(path: str):
+    """Restore the loss-history arrays saved with a checkpoint, or {} when
+    absent (the reference resumes ``loss_array = state['loss']``,
+    /root/reference/try_different_stack_without_skeleton.py:383)."""
+    f = os.path.join(os.path.abspath(path), "loss_history.npz")
+    if not os.path.exists(f):
+        return {}
+    with np.load(f) as z:
+        return {k: list(z[k]) for k in z.files}
 
 
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:

@@ -105,18 +105,33 @@ def fit_epoch(
     mesh=None,
     log_every: int = 50,
     log_fn: Optional[Callable] = None,
+    render_fn: Optional[Callable] = None,
+    key=None,
+    image_every: int = 0,
+    image_fn: Optional[Callable] = None,
 ):
-    """Run one epoch over an iterable of host batches.
+    """Run one epoch over an iterable of host batches — THE train loop
+    (cli.train consumes this; there is no second copy).
 
-    Mirrors the reference loop cadence: metrics surfaced every ``log_every``
-    steps (/root/reference/train.py:900-914).
+    Mirrors the reference loop cadence (/root/reference/train.py:874-956):
+    metrics every ``log_every`` steps; rendered prediction grids every
+    ``image_every`` steps via ``image_fn(i, state, batch)``.
+
+    ``render_fn(key, host_batch) -> device batch`` moves target rendering
+    (Gaussians/class maps/augmentation) on device per batch; ``key`` is the
+    PRNG key threaded through it (required when render_fn is given).
     """
     metrics = None
     for i, batch in enumerate(batches):
+        if render_fn is not None:
+            key, sub = jax.random.split(key)
+            batch = dict(render_fn(sub, batch))
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch)
         if log_fn is not None and i % log_every == 0:
             log_fn(i, jax.device_get(metrics))
+        if image_fn is not None and image_every > 0 and i % image_every == 0:
+            image_fn(i, state, batch)
     state = state.replace(epoch=state.epoch + 1)
-    return state, metrics
+    return state, metrics, key

@@ -101,8 +101,23 @@ def masked_objective(outputs, batch, epoch, ohem_floor: float = 0.25):
     return total, {"loss": total, "loss_1": loss_1, "loss_2": loss_2, "loss_3": loss_3}
 
 
+def progressive_2stage_objective(outputs, batch, epoch):
+    """The 2-stage ablation (/root/reference/try_different_stack_without_skeleton.py):
+    stage 1 background CE + stage 2 keypoint loss. The model emits exactly 2
+    outputs (forward 296-327: conv2_0 → 2 ch, conv2_1 → nKeypoint=17 ch);
+    the script's committed loss block (389-393) stale-indexes ``result[2]``
+    from its 3-stage ancestor and would crash — the intended objective per
+    its declared losses (loss1_background = CE, loss3_keypoints = MSE,
+    360-363) is wired here: CE(out[0], background) + MSE(out[1], gauss)."""
+    loss_1 = ce_loss(outputs[0], batch["background_map"])
+    loss_3 = mse_loss(outputs[1], batch["gauss_maps"])
+    total = loss_1 + loss_3
+    return total, {"loss": total, "loss_1": loss_1, "loss_3": loss_3}
+
+
 OBJECTIVES = {
     "progressive": progressive_objective,
+    "progressive_2stage": progressive_2stage_objective,
     "classic_mse": classic_mse_objective,
     "single_stack_ce": single_stack_ce_objective,
     "split_channel": split_channel_objective,

@@ -1,0 +1,178 @@
+"""End-to-end real-dataset paths: synthetic RELEASE .mat / joints.mat
+fixtures + JPEG files on disk → manifest build → split selection → cli.train
+→ cli.evaluate with the dataset's real normalization standard.
+
+This is the reference's canonical workflow (/root/reference/train.py:625-736
+MPII training, 1120-1146 head-rect PCKh eval; LSP loader
+/root/reference/data_argumentation.py:10-52) driven through the CLIs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io
+from PIL import Image
+
+from tests.test_manifest_mat import make_release_mat
+
+
+def write_jpegs(directory, names, size=(48, 40), seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(directory, exist_ok=True)
+    for name in names:
+        arr = (rng.random((size[1], size[0], 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(directory, str(name)))
+
+
+class TestMPIIEndToEnd:
+    @pytest.fixture()
+    def mpii_fixture(self, tmp_path):
+        """RELEASE.mat with 20 images (17 kept single-person samples) plus
+        the JPEG files the manifest references."""
+        mat = str(tmp_path / "release.mat")
+        make_release_mat(mat, n_images=20)
+        img_dir = str(tmp_path / "images")
+        write_jpegs(img_dir, [f"img_{i:03d}.jpg" for i in range(20)])
+        return mat, img_dir
+
+    def test_split_selection(self, mpii_fixture):
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            build_mpii_manifest,
+            select_split,
+        )
+
+        mat, _ = mpii_fixture
+        m = build_mpii_manifest(mat)
+        n = len(m["image_names"])
+        assert n == 17  # 20 - multi-person(1) - no-points(3) - non-train(4)
+        train = select_split(m, "train")
+        eval_ = select_split(m, "eval")
+        test = select_split(m, "test")
+        parts = [len(s["image_names"]) for s in (train, eval_, test)]
+        assert sum(parts) == n
+        # i%10 buckets (make_train_eval_test_mpii.py:100-107)
+        assert parts == [11, 4, 2]
+        # per-sample arrays sliced consistently
+        assert train["head_rects"].shape == (11, 4)
+        assert train["keypoints"].shape == (11, 16, 3)
+
+    def test_train_then_evaluate_mpii(self, mpii_fixture, tmp_path):
+        from cli import evaluate, train
+
+        mat, img_dir = mpii_fixture
+        ckpt = str(tmp_path / "ckpt")
+        common = [
+            "--dataset", "mpii", "--mpii-mat", mat, "--image-dir", img_dir,
+            "--preset", "progressive_mpii", "--features", "16",
+            "--hourglass-depth", "1", "--dtype", "float32",
+            "--input-size", "32", "--batch-size", "4",
+        ]
+        state = train.main(
+            common
+            + ["--split", "train", "--epochs", "1", "--log-every", "1",
+               "--save", ckpt, "--image-every", "0"]
+        )
+        assert int(state.epoch) == 1
+        assert os.path.exists(ckpt)
+
+        curve = evaluate.main(common + ["--split", "eval", "--load", ckpt])
+        assert curve.shape == (11,)
+        assert np.all((curve >= 0) & (curve <= 1))
+
+    def test_evaluate_uses_real_head_rects(self, mpii_fixture):
+        """The rendered eval batch must carry the .mat head rect scaled into
+        /4 map space (train.py:692-694), not a fabricated stand-in."""
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            HostLoader,
+            build_mpii_manifest,
+            make_render_fn,
+        )
+
+        mat, img_dir = mpii_fixture
+        m = build_mpii_manifest(mat)
+        render = make_render_fn(m, inputsize=32, augment=False)
+        loader = HostLoader(m, image_dir=img_dir, batch_size=2, shuffle=False,
+                            staging_size=render.staging_size)
+        host = next(iter(loader))
+        out = render(None, host)
+        # fixture rect (10, 20, 50, 60) in a 48x40 (w, h) image; map = 8px
+        expect = np.array([10 * 8 / 48, 20 * 8 / 40, 50 * 8 / 48, 60 * 8 / 40])
+        np.testing.assert_allclose(np.asarray(out["head_rect"][0]), expect,
+                                   rtol=1e-5)
+
+
+class TestLSPEndToEnd:
+    @pytest.fixture()
+    def lsp_fixture(self, tmp_path):
+        n = 24
+        rng = np.random.default_rng(1)
+        joints = np.zeros((3, 14, n))
+        joints[0] = rng.uniform(4, 36, (14, n))  # x within 40px width
+        joints[1] = rng.uniform(4, 44, (14, n))  # y within 48px height
+        joints[2] = 1.0
+        mat = str(tmp_path / "joints.mat")
+        scipy.io.savemat(mat, {"joints": joints})
+        img_dir = str(tmp_path / "images")
+        write_jpegs(img_dir, [f"im{i + 1:04d}.jpg" for i in range(n)])
+        return mat, img_dir
+
+    def test_train_then_evaluate_lsp(self, lsp_fixture, tmp_path):
+        from cli import evaluate, train
+
+        mat, img_dir = lsp_fixture
+        ckpt = str(tmp_path / "ckpt")
+        common = [
+            "--dataset", "lsp", "--lsp-mat", mat, "--image-dir", img_dir,
+            "--preset", "recursive_4stack_coco", "--out-channels", "14",
+            "--features", "16", "--hourglass-depth", "1",
+            "--dtype", "float32", "--input-size", "32", "--batch-size", "4",
+        ]
+        state = train.main(
+            common
+            + ["--split", "train", "--objective", "classic_mse",
+               "--epochs", "1", "--log-every", "1", "--save", ckpt]
+        )
+        assert int(state.epoch) == 1
+
+        acc = evaluate.main(common + ["--split", "eval", "--load", ckpt])
+        assert acc.shape == (11,)
+        assert np.all(np.isfinite(acc))
+
+    def test_lsp_split_sizes(self, lsp_fixture):
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            build_lsp_manifest,
+            select_split,
+        )
+
+        mat, img_dir = lsp_fixture
+        m = build_lsp_manifest(mat, img_dir)
+        train = select_split(m, "train")
+        eval_ = select_split(m, "eval")
+        assert len(train["image_names"]) == 21  # 24 - ceil(24/10)
+        assert len(eval_["image_names"]) == 3
+        with pytest.raises(ValueError):
+            select_split(m, "test")
+
+
+class TestSyntheticMPIIManifest:
+    def test_schema_and_render(self):
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            HostLoader,
+            make_render_fn,
+            manifest_kind,
+            synthetic_mpii_manifest,
+        )
+
+        m = synthetic_mpii_manifest(n_images=6, img_size=64)
+        assert manifest_kind(m) == "mpii"
+        render = make_render_fn(m, inputsize=32, augment=False,
+                                render_gauss=True)
+        loader = HostLoader(m, batch_size=3, shuffle=False,
+                            staging_size=render.staging_size)
+        out = render(None, next(iter(loader)))
+        assert out["keypoint_map"].shape == (3, 8, 8)
+        assert out["skeleton_map"].shape == (3, 8, 8)
+        assert out["head_rect"].shape == (3, 4)
+        assert out["gauss_maps"].shape == (3, 8, 8, 16)
+        assert int(np.asarray(out["keypoint_map"]).max()) > 0
