@@ -33,10 +33,11 @@ EXPERIMENTS = {
         name="only_one_hourglass",
         model_preset="only_one_hourglass",
         objective="single_stack_ce",
-        dataset="mpii",
+        dataset="coco",
         batch_size=16,
         augment=False,
-        notes="single weight-shared stack; CE on integer class maps",
+        notes="single weight-shared stack; CE on integer class point maps "
+              "(18 ch = 17 COCO keypoints + bg, only_one_hourgless.py:22)",
     ),
     # BASELINE config 2: "2-stack progressive hourglass with intermediate
     # supervision (try_different_stack)".
@@ -73,6 +74,26 @@ EXPERIMENTS = {
         objective="masked",
         dataset="coco",
         notes="predicted-mask-gated features + mask-weighted losses",
+    ),
+    # Recursive-ASPP 3-stack progressive (try_with_aspp).
+    "with_aspp": ExperimentConfig(
+        name="with_aspp",
+        model_preset="progressive_aspp_recursive",
+        objective="progressive_ce_ce_mse",
+        dataset="coco",
+        batch_size=8,
+        notes="weight-shared recursive hourglass, ASPP bottleneck; "
+              "CE bg + CE skeleton + MSE keypoint Gaussians",
+    ),
+    # Recursive-ASPP 4-stack with stages >= 2 keypoint heads (try_more_layer).
+    "more_layer": ExperimentConfig(
+        name="more_layer",
+        model_preset="progressive_more_layer",
+        objective="progressive_ce_ce_mse",
+        dataset="coco",
+        batch_size=8,
+        notes="4 stacks; stages >= 2 share the keypoint head "
+              "(try_more_layer.py:359); stack 3 unsupervised",
     ),
     # The reference's final published model (train.py as committed).
     "progressive_mpii_final": ExperimentConfig(

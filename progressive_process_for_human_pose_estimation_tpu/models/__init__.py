@@ -11,6 +11,7 @@ from typing import Any, Callable, Dict
 
 import jax.numpy as jnp
 
+from .aspp_recursive import ProgressiveRecursiveASPP  # noqa: F401
 from .classic import ClassicStackedHourglass  # noqa: F401
 from .gated import GatedRecursiveProgressive  # noqa: F401
 from .progressive import (  # noqa: F401
@@ -72,10 +73,12 @@ def _presets() -> Dict[str, Callable[..., Any]]:
         "classic_baseline": _preset(
             ClassicStackedHourglass, n_stack=4, out_channels=N_KEYPOINT_MPII
         ),
-        # BASELINE config 1: single-stack hourglass, MPII 16-joint
-        # (/root/reference/only_one_hourgless.py:215-254).
+        # BASELINE config 1: single-stack hourglass
+        # (/root/reference/only_one_hourgless.py:215-254; nOutChannels = 18 =
+        # 17 COCO keypoints + background, line 22; trained on COCO2014 with
+        # integer-class point labels + CE).
         "only_one_hourglass": _preset(
-            StackedHourglass, n_stack=1, out_channels=N_KEYPOINT_MPII
+            StackedHourglass, n_stack=1, out_channels=N_KEYPOINT_COCO + 1
         ),
         # 4-stack recursive hourglass with COCO Gaussian heads
         # (/root/reference/try_with_torch.py:246-298).
@@ -107,6 +110,20 @@ def _presets() -> Dict[str, Callable[..., Any]]:
             out_channels=N_KEYPOINT_COCO + 1,
             variant="skeleton_from_keypoints",
             skeleton=COCO_SKELETON,
+        ),
+        # Recursive-hourglass progressive with ASPP bottleneck, 3 stacks
+        # (/root/reference/try_with_aspp.py:283-331).
+        "progressive_aspp_recursive": _preset(
+            ProgressiveRecursiveASPP,
+            n_stack=3,
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO),
+        ),
+        # Same family, 4 stacks with the "stages >= 2 all emit keypoints"
+        # head rule (/root/reference/try_more_layer.py:315-363).
+        "progressive_more_layer": _preset(
+            ProgressiveRecursiveASPP,
+            n_stack=4,
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO),
         ),
         # Person/background mask network (/root/reference/train.py:604-622).
         "masknet": _preset(MaskNet),

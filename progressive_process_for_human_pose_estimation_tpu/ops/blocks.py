@@ -240,10 +240,15 @@ class ASPPBlock(nn.Module):
     d=6/12/18) plus a global-average-pool branch (1x1 conv, broadcast back to
     the spatial size via bilinear align_corners=True — which from a 1x1 source
     is a pure broadcast), concatenated to 1280 ch and fused by a bias-free 1x1.
+
+    ``project_bn_relu``: the final model's fuse conv carries BN+ReLU
+    (/root/reference/train.py:479-483) but the recursive-hourglass scripts
+    use a bare conv (/root/reference/try_more_layer.py:269,290).
     """
 
     features: int = 256
     dilations: Sequence[int] = (1, 6, 12, 18)
+    project_bn_relu: bool = True
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
@@ -268,4 +273,7 @@ class ASPPBlock(nn.Module):
         g = resize_bilinear_align_corners(g, b4.shape[1], b4.shape[2])
 
         y = jnp.concatenate([b1, b2, b3, b4, g], axis=-1)
-        return ConvBNReLU(self.features, 1, 0, 1, use_bias=False, name="project", **kw)(y)
+        if self.project_bn_relu:
+            return ConvBNReLU(self.features, 1, 0, 1, use_bias=False, name="project", **kw)(y)
+        return Conv(self.features, 1, 1, 0, use_bias=False, name="project",
+                    dtype=self.dtype, param_dtype=self.param_dtype)(y)

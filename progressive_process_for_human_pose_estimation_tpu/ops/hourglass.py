@@ -123,18 +123,30 @@ class ClassicHourglass(nn.Module):
 class RecursiveHourglass(nn.Module):
     """Recursive weight-shared hourglass (/root/reference/only_one_hourgless.py:168-196).
 
-    At each level: the *same* ``ResidualBlockLite(f, f)`` instance is applied
-    ``n_modules`` times on both the skip branch and the downsampled branch
-    (weight sharing across positions and levels when ``share_weights``); the
-    innermost level applies it ``n_modules`` more times in place of recursion,
-    then ``n_modules`` times again on the way up. Upsampling is bilinear with
-    align_corners=True; the merge is additive.
+    Weight-sharing semantics match the reference exactly: each *level* owns
+    ONE ``ResidualBlockLite(f, f)`` instance (``self.residual_block`` of that
+    nesting's ``hourglass`` module — nested levels are separate modules,
+    only_one_hourgless.py:171-175), applied ``n_modules`` times on the skip
+    branch, the downsampled branch, and the decode branch of that level; the
+    innermost level applies it ``n_modules`` more times in place of
+    recursion. Sharing across *stacks* comes from the caller reusing the
+    module instance (only_one_hourgless.py:224-253). ``share_weights=False``
+    gives the fully-unshared Keras-style version (model.py:66-84).
+    Upsampling is bilinear with align_corners=True; the merge is additive.
+
+    ``aspp_bottleneck``: replace the innermost level's residual chain with an
+    ASPP block (bare-conv projection) — the try_more_layer/try_with_aspp
+    variant (/root/reference/try_more_layer.py:280-290,
+    /root/reference/try_with_aspp.py:250-273). The reference constructs an
+    (unused) ASPP at every level but only the innermost forward applies it;
+    the dead outer copies are not reproduced.
     """
 
     features: int = 256
     depth: int = 4
     n_modules: int = 2
     share_weights: bool = True
+    aspp_bottleneck: bool = False
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
@@ -150,36 +162,52 @@ class RecursiveHourglass(nn.Module):
         )
         f = self.features
 
-        if self.share_weights:
-            shared = ResidualBlockLite(f, name="residual_block", **kw)
-
-            def block(_name):
-                return shared
-
-        else:
-            counter = [0]
-
-            def block(_name):
-                counter[0] += 1
-                return ResidualBlockLite(f, name=f"{_name}_{counter[0]}", **kw)
-
-        def apply_modules(h, name):
-            for _ in range(self.n_modules):
-                h = block(name)(h)
-            return h
+        aspp = (
+            ASPPBlock(
+                f,
+                project_bn_relu=False,
+                use_running_average=self.use_running_average,
+                bn_axis_name=self.bn_axis_name,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="aspp",
+            )
+            if self.aspp_bottleneck
+            else None
+        )
 
         def level(h, n, prefix):
-            up1 = apply_modules(h, f"{prefix}up")
-            low1 = max_pool_2x2(h)
-            low1 = apply_modules(low1, f"{prefix}low1")
-            if n > 1:
-                if self.share_weights:
-                    low2 = level(low1, n - 1, prefix)
-                else:
-                    low2 = level(low1, n - 1, f"{prefix}inner_")
+            if self.share_weights:
+                # One block per level, reused across this level's branches
+                # (the reference's per-nesting self.residual_block).
+                blk = ResidualBlockLite(f, name=f"residual_block_n{n}", **kw)
+
+                def mods(v, _tag):
+                    for _ in range(self.n_modules):
+                        v = blk(v)
+                    return v
+
             else:
-                low2 = apply_modules(low1, f"{prefix}low2")
-            low3 = apply_modules(low2, f"{prefix}low3")
+
+                def mods(v, tag):
+                    for j in range(self.n_modules):
+                        v = ResidualBlockLite(
+                            f, name=f"{prefix}{tag}_{j + 1}", **kw
+                        )(v)
+                    return v
+
+            up1 = mods(h, "up")
+            low1 = max_pool_2x2(h)
+            low1 = mods(low1, "low1")
+            if n > 1:
+                low2 = level(low1, n - 1, f"{prefix}inner_")
+            elif aspp is not None:
+                # Innermost level: ASPP replaces the residual chain
+                # (try_more_layer.py:280-290: low2 = conv1(cat[aspp1..4, gap])).
+                low2 = aspp(low1)
+            else:
+                low2 = mods(low1, "low2")
+            low3 = mods(low2, "low3")
             up2 = upsample2x_bilinear_align_corners(low3)
             return up1 + up2
 

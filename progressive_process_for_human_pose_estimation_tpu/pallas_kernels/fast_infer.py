@@ -69,9 +69,16 @@ def build_fast_apply(model, variables, residual_impl: str = "hybrid"):
         name: fold_lite_residual_params(p[name], s[name], dt)
         for name in ("residual1", "residual2", "residual3", "residual4")
     }
-    fp_hg = fold_lite_residual_params(
-        p["hourglass1"]["residual_block"], s["hourglass1"]["residual_block"], dt
-    )
+    # One folded block per hourglass level (the reference shares within a
+    # level, not across levels — see ops.hourglass.RecursiveHourglass).
+    fp_hg = {
+        n: fold_lite_residual_params(
+            p["hourglass1"][f"residual_block_n{n}"],
+            s["hourglass1"][f"residual_block_n{n}"],
+            dt,
+        )
+        for n in range(1, model.hourglass_depth + 1)
+    }
     lin_w, lin_b = _fold_conv_bn(
         p["lin"]["conv"]["conv"], p["lin"]["bn"]["bn"], s["lin"]["bn"]["bn"], dt
     )
@@ -93,16 +100,16 @@ def build_fast_apply(model, variables, residual_impl: str = "hybrid"):
         sks = COCO_SKELETON
     out_channels = model.out_channels
 
-    def apply_mods(h):
+    def apply_mods(h, n):
         for _ in range(n_modules):
-            h = res(h, fp_hg)
+            h = res(h, fp_hg[n])
         return h
 
     def hourglass(h, n):
-        up1 = apply_mods(h)
-        low1 = apply_mods(max_pool_2x2(h))
-        low2 = hourglass(low1, n - 1) if n > 1 else apply_mods(low1)
-        low3 = apply_mods(low2)
+        up1 = apply_mods(h, n)
+        low1 = apply_mods(max_pool_2x2(h), n)
+        low2 = hourglass(low1, n - 1) if n > 1 else apply_mods(low1, n)
+        low3 = apply_mods(low2, n)
         return up1 + upsample2x_bilinear_align_corners(low3)
 
     def fast(x):

@@ -101,6 +101,18 @@ def masked_objective(outputs, batch, epoch, ohem_floor: float = 0.25):
     return total, {"loss": total, "loss_1": loss_1, "loss_2": loss_2, "loss_3": loss_3}
 
 
+def progressive_ce_ce_mse_objective(outputs, batch, epoch):
+    """CE(bg) + CE(skeleton) + MSE(keypoint Gaussians) on the first three
+    stage outputs (/root/reference/try_more_layer.py:403-406,
+    try_with_aspp.py:393-396; stacks beyond 2 are unsupervised there)."""
+    loss_1 = ce_loss(outputs[0], batch["background_map"])
+    loss_2 = ce_loss(outputs[1], batch["skeleton_map"])
+    loss_3 = mse_loss(outputs[2], batch["gauss_maps"])
+    total = loss_1 + loss_2 + loss_3
+    return total, {"loss": total, "loss_1": loss_1, "loss_2": loss_2,
+                   "loss_3": loss_3}
+
+
 def progressive_2stage_objective(outputs, batch, epoch):
     """The 2-stage ablation (/root/reference/try_different_stack_without_skeleton.py):
     stage 1 background CE + stage 2 keypoint loss. The model emits exactly 2
@@ -118,6 +130,7 @@ def progressive_2stage_objective(outputs, batch, epoch):
 OBJECTIVES = {
     "progressive": progressive_objective,
     "progressive_2stage": progressive_2stage_objective,
+    "progressive_ce_ce_mse": progressive_ce_ce_mse_objective,
     "classic_mse": classic_mse_objective,
     "single_stack_ce": single_stack_ce_objective,
     "split_channel": split_channel_objective,
