@@ -13,6 +13,7 @@ manual latency loop (/root/reference/hourglass_compare.py:1263-1273).
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -48,6 +49,51 @@ def timed_throughput(apply_fn, x, batch: int, n_lo: int = 2, n_hi: int = 12):
     return batch / dt_iter, dt_iter
 
 
+def roofline():
+    """Measure the chip's achievable ceilings and the flagship's MFU.
+
+    Prints the roofline math the headline number must be judged against:
+    measured peak matmul/conv TFLOPs (NOT datasheet numbers), the flagship's
+    analytic FLOPs/image, the achieved TFLOPs at the headline throughput, and
+    what the 5,000 img/s BASELINE target would require. See BASELINE.md
+    "Roofline" for the recorded values and the conclusion.
+    """
+    from progressive_process_for_human_pose_estimation_tpu.bench.components import (
+        measure_conv_peak,
+        measure_matmul_peak,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.models import build_model
+
+    matmul_peak = measure_matmul_peak(8192)
+    conv_peak = measure_conv_peak(8, 64, 256)
+
+    batch = 8
+    model = build_model("hourglass8_skeleton", use_running_average=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    lowered = jax.jit(lambda xx: model.apply(variables, xx)).lower(x)
+    cost = lowered.compile().cost_analysis()
+    flops_per_img = float(cost["flops"]) / batch
+
+    ips, _ = timed_throughput(
+        lambda xx: model.apply(variables, xx), x, batch, n_lo=4, n_hi=40
+    )
+    achieved = ips * flops_per_img / 1e12
+    print(
+        json.dumps(
+            {
+                "matmul_peak_tflops": round(matmul_peak, 1),
+                "conv_peak_tflops": round(conv_peak, 1),
+                "flagship_gflop_per_img": round(flops_per_img / 1e9, 2),
+                "headline_img_per_sec": round(ips, 1),
+                "achieved_tflops": round(achieved, 1),
+                "mfu_vs_conv_peak": round(achieved / conv_peak, 3),
+                "tflops_needed_for_5000_img_s": round(5000 * flops_per_img / 1e12, 1),
+            }
+        )
+    )
+
+
 def main():
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
@@ -75,4 +121,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--roofline" in sys.argv:
+        roofline()
+    else:
+        main()

@@ -128,6 +128,22 @@ def build_loader_from_args(args, shuffle=True, drop_remainder=None):
     if split != "all":
         manifest = select_split(manifest, split, seed=args.seed)
 
+    # Multi-host runs: each process loads a disjoint shard of the manifest
+    # (per-host sharded file lists, SURVEY.md §5 "Distributed communication
+    # backend"). Single-process runs pass through untouched.
+    if jax.process_count() > 1:
+        from progressive_process_for_human_pose_estimation_tpu.data.manifests import (
+            apply_split,
+        )
+        from progressive_process_for_human_pose_estimation_tpu.parallel import (
+            host_shard,
+        )
+
+        n = len(manifest["image_names"])
+        manifest = apply_split(
+            manifest, host_shard(n, seed=args.seed if shuffle else None)
+        )
+
     loader = HostLoader(
         manifest,
         image_dir=args.image_dir,

@@ -89,6 +89,12 @@ def main(argv=None):
         MetricLogger,
     )
 
+    from progressive_process_for_human_pose_estimation_tpu import parallel
+
+    # Multi-host: no-op unless JAX_COORDINATOR_ADDRESS etc. are configured;
+    # afterwards build_loader_from_args gives this process its manifest shard.
+    parallel.initialize()
+
     size = args.input_size
     manifest, loader = build_loader_from_args(args)
     render_fn = make_render_fn(manifest, inputsize=size, augment=not args.no_augment)

@@ -43,17 +43,30 @@ def time_fn(fn: Callable, *args, n_lo: int = 4, n_hi: int = 40, reps: int = 3):
 
         return f
 
-    results = {}
-    for n in (n_lo, n_hi):
-        f = chained(n)
-        float(f(*args))  # compile + warm
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(*args))
-            ts.append(time.perf_counter() - t0)
-        results[n] = min(ts)
-    return (results[n_hi] - results[n_lo]) / (n_hi - n_lo)
+    f_lo, f_hi = chained(n_lo), chained(n_hi)
+    float(f_lo(*args))  # compile + warm
+    float(f_hi(*args))
+    for attempt in range(4):
+        results = {}
+        for n, f in ((n_lo, f_lo), (n_hi, f_hi)):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(f(*args))
+                ts.append(time.perf_counter() - t0)
+            results[n] = min(ts)
+        dt = (results[n_hi] - results[n_lo]) / (n_hi - n_lo)
+        # The tunnel adds several ms of wall jitter per call; if the measured
+        # span is small relative to that, the difference can come out
+        # non-positive — widen the loop counts 8x and retry.
+        span = results[n_hi] - results[n_lo]
+        if dt > 0 and span > 0.05:
+            return dt
+        n_lo, n_hi = n_lo * 8, n_hi * 8
+        f_lo, f_hi = chained(n_lo), chained(n_hi)
+        float(f_lo(*args))
+        float(f_hi(*args))
+    return dt
 
 
 def measure_matmul_peak(size: int = 4096, dtype=jnp.bfloat16) -> float:
@@ -77,7 +90,9 @@ def measure_conv_peak(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
-    dt = time_fn(conv, x, w, n_lo=4, n_hi=24)
+    # One iteration is ~0.1 ms; start with a wide span so the measured
+    # difference (~0.1 s) dwarfs the tunnel's per-call wall jitter.
+    dt = time_fn(conv, x, w, n_lo=64, n_hi=1088)
     flops = 2 * batch * hw * hw * ch * ch * k * k
     return flops / dt / 1e12
 

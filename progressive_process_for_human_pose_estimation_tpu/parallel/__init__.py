@@ -1,3 +1,8 @@
+from .distributed import (  # noqa: F401
+    host_batches_to_global,
+    host_shard,
+    initialize,
+)
 from .mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,

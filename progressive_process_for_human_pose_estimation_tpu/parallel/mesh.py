@@ -55,6 +55,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays with the batch axis sharded on ``data``."""
+    """Place a pytree of host arrays with the batch axis sharded on ``data``.
+
+    Single-process: a direct ``device_put``. Multi-process: each host passes
+    its *local* shard and the result is the assembled global batch
+    (``jax.make_array_from_process_local_data``) — so train loops written
+    against this helper scale to multi-host unchanged.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,74 @@
+"""Multi-host plumbing (parallel/distributed.py): per-host manifest sharding
+must partition the dataset exactly, and the local→global batch assembly must
+produce a data-sharded global array identical to direct sharding when there
+is a single process (the testable case without real multi-host)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from progressive_process_for_human_pose_estimation_tpu.parallel import (
+    host_batches_to_global,
+    host_shard,
+    initialize,
+    make_mesh,
+    shard_batch,
+)
+
+
+class TestHostShard:
+    def test_partition_is_exact_and_disjoint(self):
+        n, hosts = 103, 4
+        shards = [host_shard(n, i, hosts) for i in range(hosts)]
+        per_host = n // hosts
+        assert all(len(s) == per_host for s in shards)
+        merged = np.concatenate(shards)
+        assert len(np.unique(merged)) == len(merged)  # disjoint
+        assert set(merged.tolist()) <= set(range(n))
+
+    def test_seed_permutes_consistently(self):
+        shards_a = [host_shard(64, i, 4, seed=7) for i in range(4)]
+        shards_b = [host_shard(64, i, 4, seed=7) for i in range(4)]
+        for a, b in zip(shards_a, shards_b):
+            np.testing.assert_array_equal(a, b)
+        merged = np.sort(np.concatenate(shards_a))
+        np.testing.assert_array_equal(merged, np.arange(64))
+        assert not np.array_equal(np.concatenate(shards_a), np.arange(64))
+
+    def test_defaults_use_process_env(self):
+        # Single test process: process_index 0 of 1 → the whole manifest.
+        np.testing.assert_array_equal(host_shard(10), np.arange(10))
+
+
+class TestGlobalAssembly:
+    def test_single_process_matches_shard_batch(self):
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        batch = {
+            "image": np.arange(n_dev * 2 * 4 * 4 * 3, dtype=np.float32).reshape(
+                n_dev * 2, 4, 4, 3
+            ),
+            "label": np.arange(n_dev * 2, dtype=np.int32),
+        }
+        g = host_batches_to_global(batch, mesh)
+        direct = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+        for k in batch:
+            assert g[k].sharding == direct[k].sharding
+            np.testing.assert_array_equal(np.asarray(g[k]), np.asarray(direct[k]))
+
+    def test_global_batch_usable_in_jit(self):
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        x = np.ones((n_dev, 8), np.float32)
+        g = host_batches_to_global({"x": x}, mesh)
+        out = jax.jit(lambda b: b["x"].sum())(g)
+        assert float(out) == n_dev * 8
+
+
+class TestInitialize:
+    def test_noop_without_configuration(self, monkeypatch):
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        initialize()  # must not raise or start a coordinator
+        assert jax.process_count() == 1
