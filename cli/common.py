@@ -26,6 +26,10 @@ def add_model_args(p: argparse.ArgumentParser):
                    help="override head channels: one int, or comma-separated "
                         "ints for multi-stage presets (e.g. 14 for LSP)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize hourglass activations in the backward "
+                        "pass (less HBM, ~1 extra stack forward of FLOPs; "
+                        "recursive + progressive families)")
 
 
 def build_model_from_args(args, **extra):
@@ -39,6 +43,8 @@ def build_model_from_args(args, **extra):
     if getattr(args, "out_channels", None) is not None:
         chans = [int(c) for c in str(args.out_channels).split(",")]
         kw["out_channels"] = chans[0] if len(chans) == 1 else tuple(chans)
+    if getattr(args, "remat", False):
+        kw["remat"] = True
     kw.update(extra)
     return build_model(args.preset, **kw)
 

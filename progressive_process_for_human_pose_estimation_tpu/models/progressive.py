@@ -73,6 +73,7 @@ class ProgressiveHourglass(nn.Module):
     always_project: bool = True
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
+    remat: bool = False  # rematerialize each stage hourglass in backward
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -88,11 +89,12 @@ class ProgressiveHourglass(nn.Module):
         ckw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         f = self.features
         n_stages = len(self.out_channels)
+        HG = nn.remat(ASPPHourglass) if self.remat else ASPPHourglass
 
         inter = Stem(f, name="preprocess1", **kw)(x)
         outs = []
         for i, n_out in enumerate(self.out_channels, start=1):
-            ll = ASPPHourglass(f, depth=self.hourglass_depth, name=f"stage{i}", **kw)(inter)
+            ll = HG(f, depth=self.hourglass_depth, name=f"stage{i}", **kw)(inter)
             logits = Conv(n_out, 1, 1, 0, use_bias=False, name=f"stage{i}_out", **ckw)(ll)
             outs.append(logits)
             if i < n_stages:

@@ -75,6 +75,7 @@ class StackedHourglass(nn.Module):
     skeleton: Optional[np.ndarray] = None  # (E, 2) edge endpoints, 0-based
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
+    remat: bool = False  # rematerialize each hourglass in the backward pass
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -88,6 +89,11 @@ class StackedHourglass(nn.Module):
         )
         ckw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         f = self.features
+        # Training-memory knob: each hourglass (the bulk of live activations)
+        # is recomputed during the backward pass, trading one extra forward
+        # inside the stack for a much smaller live working set. Pure
+        # jax.checkpoint via nn.remat — numerics identical.
+        HG = nn.remat(RecursiveHourglass) if self.remat else RecursiveHourglass
 
         y = Conv(64, 7, 2, 3, name="conv1", **ckw)(x)
         y = nn.relu(y)
@@ -97,7 +103,7 @@ class StackedHourglass(nn.Module):
         inter = ResidualBlockLite(f, name="residual3", **kw)(y)
 
         if self.share_weights:
-            hourglass = RecursiveHourglass(
+            hourglass = HG(
                 f, self.hourglass_depth, self.n_modules, share_weights=True,
                 name="hourglass1", **kw,
             )
@@ -110,7 +116,7 @@ class StackedHourglass(nn.Module):
         else:
             stack_mods = [
                 (
-                    RecursiveHourglass(
+                    HG(
                         f, self.hourglass_depth, self.n_modules, share_weights=False,
                         name=f"hourglass_{i}", **kw,
                     ),

@@ -149,3 +149,40 @@ class TestCheckpoint:
         f = np.asarray(fresh.params["stage3_out"]["conv"]["kernel"])
         w3 = np.asarray(warm.params["stage3_out"]["conv"]["kernel"])
         np.testing.assert_array_equal(f, w3)
+
+
+class TestRemat:
+    """remat=True must change only memory behaviour: identical outputs,
+    gradients (to fp tolerance), and BN batch-stat updates."""
+
+    @pytest.mark.parametrize("family", ["recursive", "progressive"])
+    def test_grads_match_no_remat(self, rng, family):
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            StackedHourglass,
+        )
+
+        x = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        if family == "recursive":
+            mk = lambda **kw: StackedHourglass(
+                n_stack=2, out_channels=6, features=16, hourglass_depth=2,
+                dtype=jnp.float32, **kw,
+            )
+        else:
+            mk = lambda **kw: ProgressiveHourglass(out_channels=(2, 4, 5), **TINY, **kw)
+        m0, m1 = mk(), mk(remat=True)
+        v = m0.init(jax.random.PRNGKey(0), x)
+
+        def loss(model, params):
+            outs, upd = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                mutable=["batch_stats"],
+            )
+            return sum(o.astype(jnp.float32).sum() for o in outs), upd
+
+        (l0, u0), g0 = jax.value_and_grad(lambda p: loss(m0, p), has_aux=True)(v["params"])
+        (l1, u1), g1 = jax.value_and_grad(lambda p: loss(m1, p), has_aux=True)(v["params"])
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+        for a, b in zip(jax.tree.leaves(u0), jax.tree.leaves(u1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
