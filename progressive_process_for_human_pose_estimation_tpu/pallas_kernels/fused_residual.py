@@ -112,17 +112,27 @@ def lite_residual_hybrid(x: jax.Array, fp: Dict) -> jax.Array:
     return lite_residual_fast(x, fp)
 
 
-def lite_residual_pallas(x: jax.Array, fp: Dict) -> jax.Array:
-    """Fused residual for equal in/out channels. x: (B, H, W, C) bf16.
+def lite_residual_pallas(x: jax.Array, fp: Dict, interpret: bool = False) -> jax.Array:
+    """Fused residual block. x: (B, H, W, C_in) bf16 → (B, H, W, C_out).
 
     One grid program per batch element; the whole (H, W, C) activation and
     all weights live in VMEM. The 3x3 conv is computed from a zero-padded
     (H+2, W+2, M) scratch via 9 shifted (H*W, M) x (M, M) MXU matmuls
-    accumulated in fp32.
+    accumulated in fp32. Projection blocks (C_in != C_out, the stem's
+    residual1/residual3) add the 1x1-projected skip (w4/b4) instead of x.
+
+    Measured verdict (TPU v5e, bf16, batch 8): wins ~3x over XLA at ≤16²
+    (used via lite_residual_hybrid), but LOSES at the stem shapes — 128²
+    64→128: 0.38 ms vs XLA's fused 0.22 ms; 64² 128ch: 0.092 vs 0.044 —
+    XLA's conv fusion pipeline beats a single-core Pallas loop once the
+    working set spans HBM. Numerics verified on hardware (rel err ≤ 0.7%
+    at bf16). Kept as the small-spatial kernel + a tested reference point.
     """
+    if "w4" in fp:
+        return _lite_residual_pallas_proj(x, fp, interpret=interpret)
     b, h, w, c = x.shape
     m = fp["w1"].shape[1]
-    assert fp["w3"].shape[1] == c and "w4" not in fp, "equal-channel blocks only"
+    assert fp["w3"].shape[1] == c, "equal-channel path"
 
     # Row-chunked processing keeps fp32 intermediates small: only the padded
     # mid activations (hpad) persist at full spatial extent in VMEM.
@@ -191,5 +201,116 @@ def lite_residual_pallas(x: jax.Array, fp: Dict) -> jax.Array:
             bytes_accessed=2 * 2 * b * h * w * c,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(x, fp["a0"], fp["b0"], fp["w1"], fp["b1"], fp["w2"], fp["b2"],
       fp["w3"], fp["b3"])
+
+
+def _lite_residual_pallas_proj(
+    x: jax.Array, fp: Dict, interpret: bool = False
+) -> jax.Array:
+    """Projection variant: skip = x @ w4 + b4 (C_in → C_out).
+
+    Grid is (batch, H panels): at the stem's 128² × (64→128) shape a whole
+    (H, W) image plus its output exceeds the 16 MB VMEM budget, so each
+    program computes one H panel of the output from the full-H input block
+    (the input spec ignores the panel index, so the halo rows a panel's 3x3
+    conv needs are always resident — the one extra hpad row per boundary is
+    recomputed rather than exchanged).
+    """
+    b, h, w, cin = x.shape
+    m = fp["w1"].shape[1]
+    cout = fp["w3"].shape[1]
+
+    # Pick panels so (x + 2*out_panel + hpad) stays well under VMEM.
+    n_panels = 1
+    while (2 * h * w * cin + 4 * (h // n_panels) * w * cout
+           + (h // n_panels + 2) * (w + 2) * m) * 2 > 12 * 2**20:
+        n_panels *= 2
+    ph = h // n_panels  # panel height
+    chunk = min(16, ph)
+    n_chunks = ph // chunk
+
+    def kernel(x_ref, a0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               w3_ref, b3_ref, w4_ref, b4_ref, out_ref, hpad_ref):
+        j = pl.program_id(1)
+        row0 = j * ph  # first output row of this panel
+
+        # Phase 1: bn1 + ReLU + 1x1 reduce for image rows [row0-1, row0+ph]
+        # into the (ph+2)-row padded buffer (hpad row k = image row
+        # row0-1+k). Each chunk loads a CLAMPED-valid row window aligned to
+        # its clamped start, so boundary chunks overlap their neighbour by
+        # one (recomputed, identical) row and the out-of-image halo rows
+        # simply keep their zero initialisation.
+        hpad_ref[...] = jnp.zeros((ph + 2, w + 2, m), x_ref.dtype)
+        for r in range(n_chunks + 1):
+            rows = chunk if r < n_chunks else 2
+            start = row0 - 1 + r * chunk
+            s = jnp.clip(start, 0, h - rows)
+            xs = x_ref[0, pl.ds(s, rows), :, :]
+            y = jnp.maximum(xs * a0_ref[...] + b0_ref[...], 0.0)
+            h1 = jax.lax.dot_general(
+                y.reshape(rows * w, cin), w1_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0)
+            h1 = h1.astype(x_ref.dtype).reshape(rows, w, m)
+            hpad_ref[pl.ds(s - (row0 - 1), rows), 1 : w + 1, :] = h1
+
+        # Phase 2: 3x3 conv + ReLU + 1x1 expand + projected skip.
+        for r in range(n_chunks):
+            acc = jnp.zeros((chunk * w, m), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    tap = hpad_ref[
+                        r * chunk + dy : (r + 1) * chunk + dy, dx : dx + w, :
+                    ].reshape(chunk * w, m)
+                    acc += jax.lax.dot_general(
+                        tap, w2_ref[dy, dx], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            h2 = jnp.maximum(acc + b2_ref[...].astype(jnp.float32), 0.0).astype(
+                x_ref.dtype
+            )
+            out = jax.lax.dot_general(
+                h2, w3_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x_ref.dtype) + b3_ref[...]
+            xs = x_ref[0, pl.ds(row0 + r * chunk, chunk), :, :].reshape(
+                chunk * w, cin
+            )
+            skip = jax.lax.dot_general(
+                xs, w4_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x_ref.dtype) + b4_ref[...]
+            out_ref[0, r * chunk : (r + 1) * chunk] = (out + skip).reshape(
+                chunk, w, cout
+            )
+
+    spec_full = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                                           memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        grid=(b, n_panels),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_full((cin,)), spec_full((cin,)),
+            spec_full((cin, m)), spec_full((m,)),
+            spec_full((3, 3, m, m)), spec_full((m,)),
+            spec_full((m, cout)), spec_full((cout,)),
+            spec_full((cin, cout)), spec_full((cout,)),
+        ],
+        out_specs=pl.BlockSpec((1, ph, w, cout), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ph + 2, w + 2, m), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * (cin * m + 9 * m * m + m * cout + cin * cout),
+            bytes_accessed=2 * b * h * w * (cin + cout),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, fp["a0"], fp["b0"], fp["w1"], fp["b1"], fp["w2"], fp["b2"],
+      fp["w3"], fp["b3"], fp["w4"], fp["b4"])
