@@ -24,6 +24,11 @@ def parse_args(argv=None):
                    help="measure the full training step (fwd+bwd+Adam) instead "
                         "of inference")
     p.add_argument("--json", action="store_true", help="print one JSON line")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace (xplane, for TensorBoard "
+                        "or xprof) of the timed region to this directory. "
+                        "NOTE: requires a locally attached TPU; remote-tunnel "
+                        "attachments time dispatch, not device compute")
     args = p.parse_args(argv)
     resolve_experiment(args)
     return args
@@ -91,6 +96,14 @@ def main(argv=None):
         model = build_model_from_args(args, use_running_average=True)
         variables = model.init(jax.random.PRNGKey(0), x)
         apply_fn = lambda xx: model.apply(variables, xx)
+
+    if args.profile_dir:
+        # SURVEY.md §5: first-class tracing. One traced warm iteration after
+        # compile; the throughput numbers below stay untraced.
+        compiled = jax.jit(apply_fn)
+        compiled(x)
+        with jax.profiler.trace(args.profile_dir):
+            jax.block_until_ready(compiled(x))
 
     ips, dt = measure_throughput(apply_fn, x)
     out = {
