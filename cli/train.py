@@ -62,6 +62,9 @@ def parse_args(argv=None):
     p.add_argument("--prefetch-threads", type=int, default=0,
                    help="decode images with N threads + prefetch queue "
                         "(the reference's num_workers analogue; 0 = inline)")
+    p.add_argument("--async-save", action="store_true",
+                   help="overlap checkpoint writes with the next epoch "
+                        "(orbax async save)")
     args = p.parse_args(argv)
     resolve_experiment(args)
     return args
@@ -81,6 +84,7 @@ def main(argv=None):
         make_train_step,
         maybe_resume,
         save_checkpoint,
+        wait_for_checkpoints,
     )
     from progressive_process_for_human_pose_estimation_tpu.train.objectives import (
         OBJECTIVES,
@@ -164,8 +168,10 @@ def main(argv=None):
             image_fn=image_fn,
         )
         if args.save:
-            save_checkpoint(args.save, state, loss_history=logger.loss_history)
+            save_checkpoint(args.save, state, loss_history=logger.loss_history,
+                            async_save=args.async_save)
     if args.save:
+        wait_for_checkpoints()
         logger.save_loss_curve(args.save.rstrip("/") + "_loss.png")
     logger.close()
     return state

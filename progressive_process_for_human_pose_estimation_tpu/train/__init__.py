@@ -4,6 +4,7 @@ from .checkpoint import (  # noqa: F401
     restore_checkpoint,
     save_checkpoint,
     shape_filtered_restore,
+    wait_for_checkpoints,
 )
 from .loop import fit_epoch, make_eval_step, make_train_step  # noqa: F401
 from .objectives import OBJECTIVES  # noqa: F401

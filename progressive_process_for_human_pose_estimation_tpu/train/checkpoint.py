@@ -23,39 +23,64 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState, loss_history=None) -> None:
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def save_checkpoint(
+    path: str, state: TrainState, loss_history=None, async_save: bool = False
+) -> None:
     """Save {epoch, step, params, batch_stats, opt_state} (train.py:982-987).
 
     ``loss_history`` (dict name → list/array of per-step values) gives the
     reference's ``'loss'`` checkpoint-key parity — every script saves its
     loss arrays alongside the weights (/root/reference/train.py:982-987,
-    try_with_aspp.py:402-406). Stored as ``loss_history.npz`` inside the
-    checkpoint directory so the orbax tree keeps a fixed template."""
+    try_with_aspp.py:402-406). Stored as ``loss_history.npz`` next to the
+    weights so the orbax tree keeps a fixed template.
+
+    ``async_save=True`` (SURVEY.md §5: orbax async save) returns as soon as
+    the state is snapshotted; the HBM→disk write overlaps the next epoch.
+    At most one save is in flight — a new one first drains the previous.
+    Call :func:`wait_for_checkpoints` before exiting."""
     path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(
-            path,
-            {
-                "epoch": state.epoch,
-                "step": state.step,
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-            },
-            force=True,
-        )
+    tree = {
+        "epoch": state.epoch,
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    if async_save:
+        global _ASYNC_CKPTR
+        if _ASYNC_CKPTR is None:
+            _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        _ASYNC_CKPTR.wait_until_finished()
+        _ASYNC_CKPTR.save(path, args=ocp.args.StandardSave(tree), force=True)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, tree, force=True)
     if loss_history is not None:
+        # Written NEXT to the orbax dir (not inside): an async save finalizes
+        # the directory after this function returns.
         np.savez(
-            os.path.join(path, "loss_history.npz"),
+            path + ".loss_history.npz",
             **{k: np.asarray(v, np.float64) for k, v in loss_history.items()},
         )
+
+
+def wait_for_checkpoints() -> None:
+    """Drain any in-flight async checkpoint write (no-op otherwise)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_loss_history(path: str):
     """Restore the loss-history arrays saved with a checkpoint, or {} when
     absent (the reference resumes ``loss_array = state['loss']``,
     /root/reference/try_different_stack_without_skeleton.py:383)."""
-    f = os.path.join(os.path.abspath(path), "loss_history.npz")
+    path = os.path.abspath(path)
+    f = path + ".loss_history.npz"
+    if not os.path.exists(f):  # pre-round-2 layout: inside the ckpt dir
+        f = os.path.join(path, "loss_history.npz")
     if not os.path.exists(f):
         return {}
     with np.load(f) as z:

@@ -186,3 +186,26 @@ class TestRemat:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
         for a, b in zip(jax.tree.leaves(u0), jax.tree.leaves(u1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+class TestAsyncCheckpoint:
+    def test_async_save_roundtrip(self, rng, tmp_path):
+        from progressive_process_for_human_pose_estimation_tpu.train import (
+            load_loss_history,
+            wait_for_checkpoints,
+        )
+
+        model = tiny_model()
+        state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+        step = make_train_step(model, progressive_objective, donate=False)
+        state, _ = step(state, tiny_batch(rng))
+        path = str(tmp_path / "ckpt_async")
+        save_checkpoint(path, state, loss_history={"loss": [1.0, 0.5]},
+                        async_save=True)
+        wait_for_checkpoints()
+        fresh = create_train_state(model, jax.random.PRNGKey(7), jnp.zeros((2, 32, 32, 3)))
+        restored = restore_checkpoint(path, fresh)
+        a = np.asarray(jax.tree.leaves(state.params)[0])
+        b = np.asarray(jax.tree.leaves(restored.params)[0])
+        np.testing.assert_array_equal(a, b)
+        assert load_loss_history(path)["loss"] == [1.0, 0.5]
