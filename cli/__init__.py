@@ -4,3 +4,4 @@
 #   python -m cli.compare    ~ /root/reference/performance_compare.py
 #   python -m cli.params     ~ /root/reference/calculate_parameters.py
 #   python -m cli.benchmark  ~ /root/reference/hourglass_compare.py:1263-1273
+#   python -m cli.export     — AOT serving artifact (no reference analogue)

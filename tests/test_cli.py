@@ -78,3 +78,17 @@ class TestMetricLogger:
         assert rgb.shape == (4, 4, 3)
         grid = make_grid(rng.random((3, 8, 8, 3)).astype(np.float32))
         assert grid.ndim == 3
+
+
+class TestExport:
+    def test_export_roundtrip(self, tmp_path):
+        from cli import export as export_cli
+
+        out = str(tmp_path / "m.jaxexport")
+        export_cli.main([
+            "--preset", "progressive_mpii", "--features", "16",
+            "--hourglass-depth", "1", "--dtype", "float32",
+            "--batch", "1", "--input-size", "32", "--out", out, "--check",
+        ])
+        import os
+        assert os.path.getsize(out) > 1000
