@@ -98,6 +98,44 @@ def resolve_experiment(args):
     return cfg
 
 
+def check_heads_match_renderer(model, render_fn, preset: str):
+    """Fail loudly when the model's head channels can't hold the renderer's
+    class ids — CE over fewer logits than the max class silently produces
+    NaN gradients (out-of-range gather), not an error. The reference never
+    hits this because each script hard-codes matching constants
+    (/root/reference/train.py:44-48)."""
+    req = getattr(render_fn, "required_channels", None)
+    oc = getattr(model, "out_channels", None)
+    if req is None or oc is None:
+        return
+    if isinstance(oc, (tuple, list)):
+        # Multi-stage heads: 3 stages ↔ (bg, skeleton, keypoint); 2-stage
+        # ablations drop the middle stage.
+        need = req if len(oc) == len(req) else (req[0], req[-1])
+        bad = [
+            f"stage {i + 1}: head has {got} channels, targets need ≥ {n}"
+            for i, (got, n) in enumerate(zip(oc, need))
+            if got < n
+        ]
+    else:
+        # Single-head models: allow Gauss-regression heads (K channels, no
+        # background class) — only flag heads that can't hold K either way.
+        bad = (
+            [f"head has {oc} channels, targets need ≥ {req[-1] - 1}"]
+            if oc < req[-1] - 1
+            else []
+        )
+    if bad:
+        raise SystemExit(
+            f"model preset {preset!r} does not fit this dataset's targets "
+            f"({render_fn.kind} schema needs per-stage channels {req}): "
+            + "; ".join(bad)
+            + ". Pick a matching preset (e.g. progressive_coco for COCO/"
+            "synthetic, progressive_mpii for MPII) or override with "
+            "--out-channels."
+        )
+
+
 def build_loader_from_args(args, shuffle=True, drop_remainder=None):
     """Manifest (built or loaded) → split applied → HostLoader.
 

@@ -23,6 +23,7 @@ from .common import (
     add_model_args,
     build_loader_from_args,
     build_model_from_args,
+    check_heads_match_renderer,
     resolve_experiment,
 )
 
@@ -65,6 +66,7 @@ def main(argv=None):
     loader.staging_size = render_fn.staging_size
 
     model = build_model_from_args(args, use_running_average=True)
+    check_heads_match_renderer(model, render_fn, args.preset)
     sample = jnp.zeros((args.batch_size, size, size, 3))
     state = create_train_state(model, jax.random.PRNGKey(0), sample)
     if args.load:

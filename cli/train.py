@@ -28,6 +28,7 @@ from .common import (
     add_model_args,
     build_loader_from_args,
     build_model_from_args,
+    check_heads_match_renderer,
     resolve_experiment,
 )
 
@@ -111,6 +112,7 @@ def main(argv=None):
         loader = PrefetchLoader(loader, num_threads=args.prefetch_threads)
 
     model = build_model_from_args(args)
+    check_heads_match_renderer(model, render_fn, args.preset)
     sample = jnp.zeros((args.batch_size, size, size, 3))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), sample, args.lr)
     if args.load:

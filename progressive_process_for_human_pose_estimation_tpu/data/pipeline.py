@@ -176,11 +176,20 @@ class RenderFn:
     /root/reference/train.py:250; everything else at the input size).
     """
 
-    def __init__(self, kind: str, staging_size: int, fn, keys):
+    def __init__(self, kind: str, staging_size: int, fn, keys,
+                 required_channels=None):
         self.kind = kind
         self.staging_size = staging_size
         self._fn = fn
         self._keys = keys
+        # Minimum per-stage head channels the rendered class maps demand:
+        # (background, skeleton classes, keypoint classes) for class-map
+        # schemas, (n_joints,) for the Gaussian-only LSP schema. Drivers
+        # validate model heads against this — a keypoint_map holding class
+        # K fed to CE over fewer than K+1 logits produces NaN gradients
+        # silently (out-of-range gather), which is how a progressive_mpii
+        # model trained on COCO-shaped synthetic data failed.
+        self.required_channels = required_channels
 
     def __call__(self, key, host_batch: Dict[str, np.ndarray]):
         args = [jnp.asarray(host_batch[k]) for k in self._keys]
@@ -213,9 +222,11 @@ def make_render_fn(
             manifest["skeleton"], inputsize=inputsize, rescale_size=rescale,
             augment=augment, render_gauss=render_gauss, image_method=image_method,
         )
+        n_kp = manifest["keypoints"].shape[-2]
         return RenderFn(
             "coco", rescale if augment else inputsize, fn,
             ("images", "keypoints", "polygons", "n_vertices", "n_persons", "src_dims"),
+            required_channels=(2, len(manifest["skeleton"]) + 1, n_kp + 1),
         )
     if kind == "mpii":
         from ..models.recursive import MPII_SKELETON
@@ -223,11 +234,14 @@ def make_render_fn(
         fn = make_mpii_batch_fn(
             MPII_SKELETON, inputsize=inputsize, render_gauss=render_gauss
         )
+        n_kp = manifest["keypoints"].shape[-2]
         return RenderFn(
-            "mpii", inputsize, fn, ("images", "keypoints", "head_rects", "src_dims")
+            "mpii", inputsize, fn, ("images", "keypoints", "head_rects", "src_dims"),
+            required_channels=(2, len(MPII_SKELETON) + 1, n_kp + 1),
         )
     fn = make_lsp_batch_fn(inputsize=inputsize)
-    return RenderFn("lsp", inputsize, fn, ("images", "keypoints", "src_dims"))
+    return RenderFn("lsp", inputsize, fn, ("images", "keypoints", "src_dims"),
+                    required_channels=(manifest["keypoints"].shape[-2],))
 
 
 class PrefetchLoader:

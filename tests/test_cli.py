@@ -92,3 +92,18 @@ class TestExport:
         ])
         import os
         assert os.path.getsize(out) > 1000
+
+
+class TestHeadValidation:
+    def test_preset_dataset_mismatch_rejected(self):
+        """progressive_mpii heads (2,16,17) can't hold COCO synthetic targets
+        (classes up to 19) — must exit with a clear error, not NaN-train."""
+        from cli import train
+
+        with pytest.raises(SystemExit, match="does not fit this dataset"):
+            train.main([
+                "--preset", "progressive_mpii", "--dataset", "synthetic",
+                "--n-synthetic", "4", "--batch-size", "2", "--epochs", "1",
+                "--features", "16", "--hourglass-depth", "1",
+                "--input-size", "32", "--image-every", "0",
+            ])
