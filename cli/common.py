@@ -98,38 +98,68 @@ def resolve_experiment(args):
     return cfg
 
 
-def check_heads_match_renderer(model, render_fn, preset: str):
-    """Fail loudly when the model's head channels can't hold the renderer's
-    class ids — CE over fewer logits than the max class silently produces
-    NaN gradients (out-of-range gather), not an error. The reference never
-    hits this because each script hard-codes matching constants
-    (/root/reference/train.py:44-48)."""
+def _objective_min_channels(objective, req, n_outputs):
+    """Per-output minimum head channels for an objective given the
+    renderer's (bg, skeleton-classes, keypoint-classes) requirement. CE
+    stages need the full class count; Gauss/MSE stages need one fewer (no
+    background class). Returns None when no static rule applies."""
+    if len(req) == 1:  # LSP schema: Gaussian maps only
+        k = req[0]
+        return (k,) * n_outputs if objective == "classic_mse" else None
+    sk, kp = req[1], req[-1]
+    k = kp - 1
+    table = {
+        "progressive": (2, sk, kp),
+        "masked": (2, sk, kp),
+        "progressive_ce_ce_mse": (2, sk, k),
+        "progressive_2stage": (2, k),
+        "classic_mse": (k,) * n_outputs,
+        "single_stack_ce": (kp,) * n_outputs,
+        # split-channel CE: first 18 channels vs keypoint classes, the rest
+        # vs skeleton classes (try_skeleton_and_keypoints.py:423-435).
+        "split_channel": (18 + sk,) * n_outputs,
+    }
+    return table.get(objective)
+
+
+def check_heads_match_renderer(model, render_fn, preset: str, objective=None):
+    """Fail loudly when the model's head channels can't hold the targets the
+    renderer + objective will feed them — CE over fewer logits than the max
+    target class silently produces NaN gradients (out-of-range gather), not
+    an error. The reference never hits this because each script hard-codes
+    matching constants (/root/reference/train.py:44-48).
+
+    With ``objective`` (training) the exact per-stage minima are enforced;
+    without (evaluation) a lenient rule flags only heads that can't hold
+    the classes under ANY loss (one less than the class count, allowing
+    Gauss-regression heads)."""
     req = getattr(render_fn, "required_channels", None)
     oc = getattr(model, "out_channels", None)
     if req is None or oc is None:
         return
-    if isinstance(oc, (tuple, list)):
-        # Multi-stage heads: 3 stages ↔ (bg, skeleton, keypoint); 2-stage
-        # ablations drop the middle stage.
-        need = req if len(oc) == len(req) else (req[0], req[-1])
-        bad = [
-            f"stage {i + 1}: head has {got} channels, targets need ≥ {n}"
-            for i, (got, n) in enumerate(zip(oc, need))
-            if got < n
-        ]
-    else:
-        # Single-head models: allow Gauss-regression heads (K channels, no
-        # background class) — only flag heads that can't hold K either way.
-        bad = (
-            [f"head has {oc} channels, targets need ≥ {req[-1] - 1}"]
-            if oc < req[-1] - 1
-            else []
-        )
+    stages = tuple(oc) if isinstance(oc, (tuple, list)) else (oc,)
+    need = _objective_min_channels(objective, req, len(stages))
+    if need is None:
+        if len(req) == 1:
+            return  # LSP Gauss schema with a CE-family objective: no rule
+        if isinstance(oc, (tuple, list)):
+            base = req if len(stages) == len(req) else (req[0], req[-1])
+            need = (base[0],) + tuple(n - 1 for n in base[1:])
+        else:
+            need = (req[-1] - 1,) * len(stages)
+    if len(need) != len(stages):
+        return  # objective/model stage-count mismatch is caught at step time
+    bad = [
+        f"stage {i + 1}: head has {got} channels, needs ≥ {n}"
+        for i, (got, n) in enumerate(zip(stages, need))
+        if got < n
+    ]
     if bad:
         raise SystemExit(
             f"model preset {preset!r} does not fit this dataset's targets "
-            f"({render_fn.kind} schema needs per-stage channels {req}): "
-            + "; ".join(bad)
+            f"({render_fn.kind} schema: per-stage class counts {req}"
+            + (f", objective {objective!r}" if objective else "")
+            + "): " + "; ".join(bad)
             + ". Pick a matching preset (e.g. progressive_coco for COCO/"
             "synthetic, progressive_mpii for MPII) or override with "
             "--out-channels."

@@ -112,7 +112,7 @@ def main(argv=None):
         loader = PrefetchLoader(loader, num_threads=args.prefetch_threads)
 
     model = build_model_from_args(args)
-    check_heads_match_renderer(model, render_fn, args.preset)
+    check_heads_match_renderer(model, render_fn, args.preset, args.objective)
     sample = jnp.zeros((args.batch_size, size, size, 3))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), sample, args.lr)
     if args.load:
