@@ -64,6 +64,9 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--n-synthetic", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--decode-backend", default="pil", choices=["pil", "native"],
+                   help="'native' = C++ libjpeg thread-pool batch decoder "
+                        "(builds on first use; falls back to pil)")
 
 
 def resolve_experiment(args):
@@ -225,5 +228,6 @@ def build_loader_from_args(args, shuffle=True, drop_remainder=None):
         seed=args.seed,
         shuffle=shuffle,
         drop_remainder=shuffle if drop_remainder is None else drop_remainder,
+        decode_backend=getattr(args, "decode_backend", "pil"),
     )
     return manifest, loader

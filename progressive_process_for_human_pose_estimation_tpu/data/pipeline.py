@@ -340,6 +340,7 @@ class HostLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_remainder: bool = True,
+        decode_backend: str = "pil",
     ):
         self.manifest = manifest
         self.image_dir = image_dir
@@ -348,6 +349,16 @@ class HostLoader:
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.drop_remainder = drop_remainder
+        # 'native' = C++ libjpeg thread-pool feeder (data/native.py): one C
+        # call decodes+resizes the whole batch; falls back to PIL when the
+        # library can't build. Resize is non-antialiased bilinear there
+        # (PIL's is antialiased) — decode itself is the same codec.
+        if decode_backend == "native":
+            from .native import native_available
+
+            if not native_available():
+                decode_backend = "pil"
+        self.decode_backend = decode_backend
 
     def _load_image(self, idx: int):
         """Decode + staging-resize one image; returns (array, (h, w)) with
@@ -387,6 +398,20 @@ class HostLoader:
         n = len(self.manifest["image_names"])
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
 
+    def _load_batch(self, idx):
+        names = [str(self.manifest["image_names"][i]) for i in idx]
+        if self.decode_backend == "native" and not any(
+            nm.startswith("synthetic_") for nm in names
+        ):
+            from .native import decode_resize_batch
+
+            images, dims = decode_resize_batch(
+                [os.path.join(self.image_dir, nm) for nm in names],
+                self.staging_size,
+            )
+            return [(images[k], tuple(dims[k])) for k in range(len(idx))]
+        return [self._load_image(i) for i in idx]
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.manifest["image_names"])
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
@@ -394,4 +419,4 @@ class HostLoader:
         stop = n - n % bs if self.drop_remainder else n
         for start in range(0, stop, bs):
             idx = order[start : start + bs]
-            yield self._pack_batch(idx, [self._load_image(i) for i in idx])
+            yield self._pack_batch(idx, self._load_batch(idx))

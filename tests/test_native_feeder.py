@@ -1,0 +1,110 @@
+"""Native C++ JPEG feeder (native/jpeg_feeder.cc via data/native.py):
+decode parity with PIL (same codec → identical pixels at native size),
+resize sanity vs PIL bilinear, failure reporting, and HostLoader backend
+integration. Skipped when g++/libjpeg can't build the library."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from progressive_process_for_human_pose_estimation_tpu.data.native import (
+    decode_resize_batch,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native feeder unavailable (g++/libjpeg)"
+)
+
+
+def write_jpeg(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path, quality=95)
+
+
+@pytest.fixture()
+def jpegs(tmp_path):
+    rng = np.random.default_rng(0)
+    paths, arrays = [], []
+    for i, (h, w) in enumerate([(40, 56), (64, 64), (33, 47)]):
+        # Smooth gradients: JPEG-compresses almost losslessly, so decode
+        # comparisons are not dominated by codec artifacts.
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack(
+            [
+                (255 * yy / max(h - 1, 1)),
+                (255 * xx / max(w - 1, 1)),
+                np.full((h, w), 30.0 * (i + 1)),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        p = str(tmp_path / f"img_{i}.jpg")
+        write_jpeg(p, arr)
+        paths.append(p)
+        arrays.append(arr)
+    return paths, arrays
+
+
+class TestNativeFeeder:
+    def test_decode_matches_pil_at_native_size(self, jpegs):
+        from PIL import Image
+
+        paths, _ = jpegs
+        p = paths[1]  # 64x64: staging == native size → resize is identity
+        out, dims = decode_resize_batch([p], 64)
+        pil = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+        assert tuple(dims[0]) == (64, 64)
+        np.testing.assert_allclose(out[0], pil, atol=1e-6)
+
+    def test_resize_tracks_pil_bilinear(self, jpegs):
+        from PIL import Image
+
+        paths, _ = jpegs
+        out, dims = decode_resize_batch(paths, 32)
+        for p, got, hw in zip(paths, out, dims):
+            pil = Image.open(p).convert("RGB")
+            assert tuple(hw) == (pil.size[1], pil.size[0])
+            ref = (
+                np.asarray(pil.resize((32, 32), Image.BILINEAR), np.float32)
+                / 255.0
+            )
+            # Non-antialiased vs PIL's antialiased bilinear: close on smooth
+            # content, not identical.
+            assert np.abs(got - ref).mean() < 0.02
+            assert np.abs(got - ref).max() < 0.15
+
+    def test_failure_raises(self, tmp_path, jpegs):
+        paths, _ = jpegs
+        bad = str(tmp_path / "missing.jpg")
+        with pytest.raises(RuntimeError, match="failed to decode"):
+            decode_resize_batch([paths[0], bad], 32)
+
+    def test_hostloader_backend(self, tmp_path, jpegs):
+        from test_real_data_e2e import write_jpegs  # noqa: F401 (fixture helper)
+
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            HostLoader,
+        )
+        from progressive_process_for_human_pose_estimation_tpu.data.manifests import (
+            Manifest,  # noqa: F401
+        )
+
+        paths, _ = jpegs
+        manifest = {
+            "image_names": np.asarray([os.path.basename(p) for p in paths]),
+            "keypoints": np.zeros((3, 14, 3), np.float32),
+        }
+        kw = dict(
+            image_dir=os.path.dirname(paths[0]), batch_size=3,
+            staging_size=32, shuffle=False, drop_remainder=False,
+        )
+        native = next(iter(HostLoader(manifest, decode_backend="native", **kw)))
+        pil = next(iter(HostLoader(manifest, decode_backend="pil", **kw)))
+        np.testing.assert_array_equal(native["src_dims"], pil["src_dims"])
+        assert native["images"].shape == pil["images"].shape
+        assert np.abs(native["images"] - pil["images"]).mean() < 0.02
