@@ -97,6 +97,31 @@ def measure_conv_peak(
     return flops / dt / 1e12
 
 
+def measure_int8_conv_peak(
+    batch: int = 8, hw: int = 64, ch: int = 256, k: int = 3
+) -> float:
+    """Achievable s8 x s8 -> s32 conv TOPS (incl. the in-graph activation
+    cast a quantized model pays). Measured 315.7 TOPS on this chip vs 191.5
+    TFLOPs bf16 — the 1.7x that does NOT survive end-to-end (ROUND2_NOTES
+    int8 experiment: quant/dequant HBM trips + relayouts dominate)."""
+    xf = jax.random.randint(
+        jax.random.PRNGKey(0), (batch, hw, hw, ch), -127, 127, jnp.int32
+    ).astype(jnp.float32)
+    wi = jax.random.randint(
+        jax.random.PRNGKey(1), (k, k, ch, ch), -127, 127, jnp.int32
+    ).astype(jnp.int8)
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.int8), w, (1, 1), [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+
+    dt = time_fn(conv, xf, wi, n_lo=64, n_hi=1088)
+    return 2 * batch * hw * hw * ch * ch * k * k / dt / 1e12
+
+
 def model_throughput(model, variables, x, n_lo: int = 4, n_hi: int = 40):
     """images/sec for ``model.apply`` on input ``x``."""
     dt = time_fn(lambda xx: model.apply(variables, xx), x, n_lo=n_lo, n_hi=n_hi)
