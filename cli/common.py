@@ -28,8 +28,10 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize hourglass activations in the backward "
-                        "pass (less HBM, ~1 extra stack forward of FLOPs; "
-                        "recursive + progressive families)")
+                        "pass (less HBM, ~1 extra stack forward of FLOPs). "
+                        "Helps deep stacks (8-stack: +27%% measured), hurts "
+                        "the shallow progressive family (-13%%) — see "
+                        "ROUND2_NOTES 'Training step'")
 
 
 def build_model_from_args(args, **extra):
