@@ -36,8 +36,15 @@ def add_model_args(p: argparse.ArgumentParser):
 
 def build_model_from_args(args, **extra):
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
+    from progressive_process_for_human_pose_estimation_tpu.utils.precision import (
+        DEFAULT_POLICY,
+        PARITY_POLICY,
+    )
 
-    kw = dict(dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    # --dtype selects the precision Policy (bf16 compute / fp32 params =
+    # apex-O1 analogue; full fp32 = the parity policy used by the tests).
+    policy = DEFAULT_POLICY if args.dtype == "bfloat16" else PARITY_POLICY
+    kw = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
     if args.features is not None:
         kw["features"] = args.features
     if getattr(args, "hourglass_depth", None) is not None:
@@ -118,6 +125,7 @@ def _objective_min_channels(objective, req, n_outputs):
         "masked": (2, sk, kp),
         "progressive_ce_ce_mse": (2, sk, k),
         "progressive_2stage": (2, k),
+        "mask_only": (2,) * n_outputs,
         "classic_mse": (k,) * n_outputs,
         "single_stack_ce": (kp,) * n_outputs,
         # split-channel CE: first 18 channels vs keypoint classes, the rest

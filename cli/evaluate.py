@@ -53,7 +53,7 @@ def main(argv=None):
     from progressive_process_for_human_pose_estimation_tpu.eval import (
         PCKH_THRESHOLDS,
         pckh_curve,
-        pckh_simple,
+        pckh_gauss_curve,
     )
     from progressive_process_for_human_pose_estimation_tpu.train import (
         create_train_state,
@@ -79,12 +79,12 @@ def main(argv=None):
         return outs[args.stage].astype(jnp.float32)
 
     if render_fn.kind == "lsp":
-        # LSP path: Gaussian-target PCKh (head-neck/2 standard).
+        # LSP path: real per-threshold Gaussian-target curve (standard =
+        # head-neck distance; t=0.5 equals the reference's pckh_simple test).
         @jax.jit
         def eval_batch(params, batch_stats, batch):
             out = outputs_of(params, batch_stats, batch["image"])
-            acc = pckh_simple(out, batch["gauss_maps"])
-            return jnp.tile(acc, (batch["image"].shape[0], 11))
+            return pckh_gauss_curve(out, batch["gauss_maps"])
 
     else:
 

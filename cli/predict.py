@@ -26,6 +26,14 @@ def parse_args(argv=None):
     p.add_argument("--out", default="prediction.png")
     p.add_argument("--threshold", type=float, default=1.0,
                    help="peak confidence threshold (reference `threshold`)")
+    p.add_argument("--mask-gate", action="store_true",
+                   help="gate the input through a MaskNet person mask before "
+                        "the pose model: mask -> nearest x4 upsample -> argmax "
+                        "-> multiply into the input "
+                        "(/root/reference/train.py:1005-1038)")
+    p.add_argument("--mask-load", default=None,
+                   help="MaskNet checkpoint for --mask-gate (untrained "
+                        "MaskNet weights otherwise)")
     args = p.parse_args(argv)
     resolve_experiment(args)
     return args
@@ -69,6 +77,33 @@ def main(argv=None):
     if args.load:
         state = restore_checkpoint(args.load, state)
 
+    gate = None
+    if args.mask_gate:
+        # generateMask-gated composition (/root/reference/train.py:1020-1038):
+        # mask logits at /4 -> nearest x4 (F.interpolate default) -> argmax
+        # over {bg, person} -> hard-multiply into the input image. Upsample
+        # and argmax commute for nearest-neighbour, so argmax first.
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            build_model,
+        )
+
+        mkw = dict(dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                   else jnp.float32, use_running_average=True)
+        if args.features:
+            mkw["features"] = args.features
+        if getattr(args, "hourglass_depth", None):
+            mkw["hourglass_depth"] = args.hourglass_depth
+        masknet = build_model("masknet", **mkw)
+        mstate = create_train_state(masknet, jax.random.PRNGKey(0), x)
+        if args.mask_load:
+            mstate = restore_checkpoint(args.mask_load, mstate)
+        mask = masknet.apply(
+            {"params": mstate.params, "batch_stats": mstate.batch_stats}, x
+        )
+        gate = jnp.argmax(mask.astype(jnp.float32), axis=-1)  # (1, S/4, S/4)
+        gate = jnp.repeat(jnp.repeat(gate, 4, axis=1), 4, axis=2)
+        x = x * gate[..., None].astype(x.dtype)
+
     outs = model.apply({"params": state.params, "batch_stats": state.batch_stats}, x)
     if not isinstance(outs, (list, tuple)):
         outs = [outs]
@@ -78,10 +113,15 @@ def main(argv=None):
                                   scale=size // outs[-1].shape[1])
     coords, valid = np.asarray(coords[0]), np.asarray(valid[0])
 
-    n_panels = 1 + len(outs) + 1
+    n_panels = 1 + (1 if gate is not None else 0) + len(outs) + 1
     fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 4))
+    all_axes = list(axes)
     axes[0].imshow(img)
     axes[0].set_title("input")
+    if gate is not None:
+        axes[1].imshow(np.asarray(x[0], np.float32))
+        axes[1].set_title("mask-gated input")
+        axes = axes[1:]
     titles = ["mask", "skeleton", "keypoints"]
     for i, o in enumerate(outs):
         cls = np.argmax(np.asarray(o[0]), axis=-1)
@@ -92,7 +132,7 @@ def main(argv=None):
         if ok:
             axes[-1].plot(px, py, "o", markersize=4)
     axes[-1].set_title("decoded keypoints")
-    for ax in axes:
+    for ax in all_axes:
         ax.axis("off")
     fig.savefig(args.out, bbox_inches="tight")
     print(f"wrote {args.out} ({int(valid.sum())} peaks above threshold)")

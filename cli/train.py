@@ -75,9 +75,6 @@ def main(argv=None):
     args = parse_args(argv)
 
     from progressive_process_for_human_pose_estimation_tpu.data import make_render_fn
-    from progressive_process_for_human_pose_estimation_tpu.parallel import (
-        make_mesh,
-    )
     from progressive_process_for_human_pose_estimation_tpu.train import (
         create_train_state,
         fit_epoch,
@@ -120,9 +117,16 @@ def main(argv=None):
                              fine_tune=args.fine_tune)
 
     objective = OBJECTIVES[args.objective]
-    step_fn = make_train_step(model, objective, donate=False)
-    n_dev = len(jax.devices())
-    mesh = make_mesh() if n_dev > 1 and args.batch_size % n_dev == 0 else None
+    # donate=True: the step consumes the old TrainState buffers in place
+    # (orbax save copies device->host before returning, so the async
+    # checkpoint never races the donation).
+    step_fn = make_train_step(model, objective, donate=True)
+    mesh = parallel.mesh_for_batch(args.batch_size)
+    if mesh is not None:
+        # Commit params/opt state to the global mesh before the jitted step
+        # sees a global batch: under jax.process_count()>1 locally-committed
+        # state + a global array is an incompatible-devices error.
+        state = jax.device_put(state, parallel.replicated_sharding(mesh))
     run_name = args.run_name or args.experiment or args.preset
     logger = MetricLogger(args.logdir, run_name)
     if args.load and not args.retrain:

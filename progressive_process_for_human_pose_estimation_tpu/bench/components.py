@@ -66,7 +66,11 @@ def time_fn(fn: Callable, *args, n_lo: int = 4, n_hi: int = 40, reps: int = 3):
         f_lo, f_hi = chained(n_lo), chained(n_hi)
         float(f_lo(*args))
         float(f_hi(*args))
-    return dt
+    raise RuntimeError(
+        f"time_fn: measurement span still below the jitter floor after 4 "
+        f"widenings (dt={dt:.3e}s, span={span:.3e}s) — refusing to report a "
+        f"number the tunnel noise could have produced"
+    )
 
 
 def measure_matmul_peak(size: int = 4096, dtype=jnp.bfloat16) -> float:

@@ -267,36 +267,61 @@ class PrefetchLoader:
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
-        manifest = self.loader.manifest
-        n = len(manifest["image_names"])
-        order = (
-            self.loader.rng.permutation(n) if self.loader.shuffle else np.arange(n)
-        )
-        bs = self.loader.batch_size
-        stop = n - n % bs if self.loader.drop_remainder else n
+        loader = self.loader
+        n = len(loader.manifest["image_names"])
+        order = loader.rng.permutation(n) if loader.shuffle else np.arange(n)
+        bs = loader.batch_size
+        stop = n - n % bs if loader.drop_remainder else n
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        abort = threading.Event()
 
-        def assemble(idx):
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                loaded = list(pool.map(self.loader._load_image, idx))
-            return self.loader._pack_batch(idx, loaded)
+        def put(item) -> bool:
+            # Bounded put that gives up when the consumer went away (early
+            # break / exception in the training loop) so the producer thread
+            # never blocks forever on a full queue.
+            while not abort.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
+        # One pool for the whole epoch (round 2 built a fresh pool per
+        # batch, paying thread startup every batch). Batches route through
+        # HostLoader._load_batch so the native C++ decoder — which decodes
+        # the whole batch in one call with its own std::thread pool — is
+        # honored; round 2 called _load_image per image and silently
+        # dropped `--decode-backend native` back to PIL.
+        pool = ThreadPoolExecutor(self.num_threads)
 
         def producer():
             try:
                 for start in range(0, stop, bs):
-                    q.put(assemble(order[start : start + bs]))
+                    idx = order[start : start + bs]
+                    batch = loader._pack_batch(idx, loader._load_batch(idx, pool=pool))
+                    if not put(batch):
+                        return
+            except BaseException as e:  # surfaced in the consumer
+                put(e)
             finally:
-                q.put(SENTINEL)
+                put(SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            abort.set()
+            t.join()
+            pool.shutdown(wait=True)
 
 
 def make_lsp_batch_fn(inputsize: int = 256, sigma: float = 1.0):
@@ -398,7 +423,11 @@ class HostLoader:
         n = len(self.manifest["image_names"])
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
 
-    def _load_batch(self, idx):
+    def _load_batch(self, idx, pool=None):
+        """Decode one batch. The native backend decodes + resizes the whole
+        batch in a single C call (its own std::thread pool); the PIL path
+        optionally fans out over ``pool`` (a ThreadPoolExecutor — PIL's C
+        codecs release the GIL)."""
         names = [str(self.manifest["image_names"][i]) for i in idx]
         if self.decode_backend == "native" and not any(
             nm.startswith("synthetic_") for nm in names
@@ -410,6 +439,8 @@ class HostLoader:
                 self.staging_size,
             )
             return [(images[k], tuple(dims[k])) for k in range(len(idx))]
+        if pool is not None:
+            return list(pool.map(self._load_image, idx))
         return [self._load_image(i) for i in idx]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

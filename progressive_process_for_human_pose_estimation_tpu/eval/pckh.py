@@ -117,6 +117,59 @@ def pckh_curve(
     return PCKhResult(accuracy, preds, labels, standard)
 
 
+def pckh_gauss_curve(
+    heatmaps: jax.Array,
+    target_heatmaps: jax.Array,
+    head_index: int = 13,
+    neck_index: int = 1,
+    n_joints: int = 14,
+) -> jax.Array:
+    """Per-image PCKh detection-rate curve for Gaussian-target schemas (LSP).
+
+    Same geometry as :func:`pckh_simple` — GT/prediction located by
+    row/column argmax of the Gaussian target / predicted heatmap, standard =
+    head-neck distance (/root/reference/only_one_hourgless.py:285-313, whose
+    fixed ``dist < standard/2`` test equals this curve read at t=0.5) — but
+    swept over the 11 canonical thresholds so the LSP path reports a real
+    measured curve instead of one scalar.
+
+    Returns (N, 11) per-image accuracies (NaN where no joints are present).
+    """
+
+    def per_image(hm, tgt):
+        def argmax_rowcol(m):
+            ys = jnp.argmax(jnp.max(m, axis=1))
+            xs = jnp.argmax(m[ys])
+            return ys, xs
+
+        head_y, head_x = argmax_rowcol(tgt[:, :, head_index])
+        neck_y, neck_x = argmax_rowcol(tgt[:, :, neck_index])
+        standard = jnp.sqrt(
+            jnp.square(head_y - neck_y).astype(jnp.float32)
+            + jnp.square(head_x - neck_x).astype(jnp.float32)
+        )
+
+        def per_joint(j):
+            label_map = tgt[:, :, j]
+            present = jnp.max(label_map) > 0
+            ly, lx = argmax_rowcol(label_map)
+            py, px = argmax_rowcol(hm[:, :, j])
+            dist = jnp.sqrt(
+                jnp.square(ly - py).astype(jnp.float32)
+                + jnp.square(lx - px).astype(jnp.float32)
+            )
+            return present, dist
+
+        present, dist = jax.vmap(per_joint)(jnp.arange(n_joints))
+        norm = dist / jnp.maximum(standard, 1e-6)
+        hits = (norm[:, None] < PCKH_THRESHOLDS[None, :]) & present[:, None]
+        correct = jnp.sum(hits, axis=0).astype(jnp.float32)  # (11,)
+        total = jnp.sum(present).astype(jnp.float32)
+        return correct / total  # NaN when no joints present, as pckh_curve
+
+    return jax.vmap(per_image)(heatmaps, target_heatmaps)
+
+
 def pckh_simple(
     heatmaps: jax.Array,
     target_heatmaps: jax.Array,

@@ -228,7 +228,13 @@ def _lite_residual_pallas_proj(
            + (h // n_panels + 2) * (w + 2) * m) * 2 > 12 * 2**20:
         n_panels *= 2
     ph = h // n_panels  # panel height
+    if h % n_panels != 0:
+        raise ValueError(f"height {h} not divisible into {n_panels} panels")
     chunk = min(16, ph)
+    if ph % chunk != 0:
+        # Phase 2 writes n_chunks*chunk rows per panel; a non-dividing chunk
+        # would leave the tail rows of every panel uninitialized.
+        chunk = next(c for c in range(chunk, 0, -1) if ph % c == 0)
     n_chunks = ph // chunk
 
     def kernel(x_ref, a0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,

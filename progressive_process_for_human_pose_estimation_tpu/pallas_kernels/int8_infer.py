@@ -263,8 +263,11 @@ def calibrate(model, variables, x_cal) -> Dict[str, Dict[str, float]]:
 
     _forward(model, plan, x_cal, record_block)
     names = ("y", "h1", "h2", "x")
+    # Floor mirrors _quant_w's 1e-12 weight guard: a call site whose
+    # activations are all zero on the calibration batch (e.g. a fully-off
+    # ReLU) would otherwise yield scale 0.0 and _quant_x divides by it.
     return {
-        site: {names[k]: float(v) / 127.0 for k, v in enumerate(rec)}
+        site: {names[k]: max(float(v), 1e-6) / 127.0 for k, v in enumerate(rec)}
         for site, rec in jax.device_get(sites).items()
     }
 

@@ -6,6 +6,8 @@ from .distributed import (  # noqa: F401
 from .mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    mesh_for_batch,
+    mesh_rule,
     replicated_sharding,
     shard_batch,
 )

@@ -44,6 +44,40 @@ def make_mesh(
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def mesh_rule(local_batch: int, n_devices: int, n_processes: int) -> bool:
+    """Pure gating rule for building a data-parallel training mesh.
+
+    The sharded batch axis carries the GLOBAL batch (local_batch per host x
+    n_processes hosts) over the GLOBAL device count, so divisibility is
+    checked there. (Round 2 compared the per-host batch against the global
+    device count, which silently disabled the mesh on any real multi-host
+    pod.)
+
+    Returns True to build a mesh, False for the single-device path.
+    Multi-process runs REQUIRE a mesh — every host feeds its local shard
+    into a global array via ``shard_batch`` — so an indivisible batch is a
+    loud error, never a silent fallback to per-host unsynced training.
+    """
+    global_batch = local_batch * n_processes
+    if n_processes > 1:
+        if global_batch % n_devices != 0:
+            raise ValueError(
+                f"multi-process run: global batch {global_batch} "
+                f"({local_batch}/host x {n_processes} hosts) does not divide "
+                f"over {n_devices} devices; adjust --batch-size"
+            )
+        return True
+    return n_devices > 1 and local_batch % n_devices == 0
+
+
+def mesh_for_batch(local_batch: int) -> Optional[Mesh]:
+    """Build the data-parallel mesh for a run with this per-host batch size,
+    or None when the single-device path applies (see :func:`mesh_rule`)."""
+    if mesh_rule(local_batch, len(jax.devices()), jax.process_count()):
+        return make_mesh()
+    return None
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for NHWC batches: leading (batch) axis split on ``data``."""
     return NamedSharding(mesh, P("data"))

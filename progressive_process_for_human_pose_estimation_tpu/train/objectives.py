@@ -127,8 +127,18 @@ def progressive_2stage_objective(outputs, batch, epoch):
     return total, {"loss": total, "loss_1": loss_1, "loss_3": loss_3}
 
 
+def mask_only_objective(outputs, batch, epoch):
+    """Standalone MaskNet training: CE on the person/background map — the
+    reference's generateMask trainer (commented-out but complete:
+    /root/reference/train.py:798-843, Adam + loss_background CE). Gives the
+    `masknet` preset a real workflow feeding `cli.predict --mask-gate`."""
+    loss = ce_loss(outputs[0], batch["background_map"])
+    return loss, {"loss": loss}
+
+
 OBJECTIVES = {
     "progressive": progressive_objective,
+    "mask_only": mask_only_objective,
     "progressive_2stage": progressive_2stage_objective,
     "progressive_ce_ce_mse": progressive_ce_ce_mse_objective,
     "classic_mse": classic_mse_objective,

@@ -1,0 +1,94 @@
+"""The two-model comparison workflow end-to-end — the reference's headline
+deliverable (/root/reference/performance_compare.py:618-762): train two tiny
+presets, checkpoint both, run cli.compare over the same batches, get both
+detection-rate curves. Plus cli.graph and the mask-gated cli.predict flow
+(/root/reference/train.py:1005-1038) as smokes."""
+
+import os
+
+import numpy as np
+
+
+COMMON = [
+    "--features", "16", "--hourglass-depth", "1",
+    "--dtype", "float32", "--input-size", "64",
+    "--batch-size", "4", "--n-synthetic", "8",
+]
+
+
+def _train(preset, objective, ckpt, extra=()):
+    from cli import train
+
+    state = train.main(
+        ["--preset", preset, "--objective", objective,
+         "--epochs", "1", "--log-every", "1", "--save", ckpt, *extra]
+        + COMMON
+    )
+    assert int(state.epoch) == 1
+    return state
+
+
+class TestCompareWorkflow:
+    def test_two_trained_models_compare(self, tmp_path):
+        from cli import compare
+
+        ckpt_a = str(tmp_path / "ckpt_a")
+        ckpt_b = str(tmp_path / "ckpt_b")
+        # Model A: the progressive family (scored WITH the background-channel
+        # offset); model B: a Gauss-head baseline (scored without), exactly
+        # the performance_compare.py pairing.
+        _train("progressive_coco", "progressive", ckpt_a)
+        _train("recursive_4stack_coco", "classic_mse", ckpt_b)
+
+        results = compare.main(
+            ["--preset-a", "progressive_coco", "--load-a", ckpt_a,
+             "--preset-b", "recursive_4stack_coco", "--load-b", ckpt_b]
+            + COMMON
+        )
+        for tag in ("a", "b"):
+            curve = results[tag]
+            assert curve.shape == (11,)
+            assert np.all(np.isfinite(curve))
+            assert np.all(np.diff(curve) >= -1e-7)  # nondecreasing in t
+
+    def test_compare_without_checkpoints(self):
+        from cli import compare
+
+        results = compare.main(
+            ["--preset-a", "progressive_coco",
+             "--preset-b", "recursive_4stack_coco"] + COMMON
+        )
+        assert results["a"].shape == results["b"].shape == (11,)
+
+
+class TestGraphSmoke:
+    def test_tabulate_and_hlo(self, tmp_path, capsys):
+        from cli import graph
+
+        hlo = str(tmp_path / "model.hlo.txt")
+        graph.main(
+            ["--preset", "progressive_coco", "--features", "16",
+             "--hourglass-depth", "1", "--dtype", "float32",
+             "--input-size", "64", "--hlo-out", hlo]
+        )
+        out = capsys.readouterr().out
+        assert "ProgressiveHourglass" in out
+        assert os.path.exists(hlo) and os.path.getsize(hlo) > 1000
+
+
+class TestMaskGatedPredict:
+    def test_mask_gate_flow(self, tmp_path):
+        from cli import predict, train
+
+        mask_ckpt = str(tmp_path / "masknet")
+        # Train the MaskNet preset one epoch on the stage-1 background task.
+        _train("masknet", "mask_only", mask_ckpt)
+
+        out_png = str(tmp_path / "gated.png")
+        predict.main(
+            ["--preset", "progressive_coco", "--features", "16",
+             "--hourglass-depth", "1", "--dtype", "float32",
+             "--input-size", "64", "--mask-gate", "--mask-load", mask_ckpt,
+             "--out", out_png]
+        )
+        assert os.path.exists(out_png)
