@@ -95,70 +95,53 @@ def roofline():
 
 
 def train_bench():
-    """Training-step throughput (fwd+bwd+Adam+BN stats), remat config.
-
-    The step is chained inside one fori_loop with the FULL TrainState as the
-    loop carry, so every gradient and optimizer update stays live — returning
-    a single leaf lets XLA dead-code-eliminate most of the backward pass and
-    overstate throughput ~2x (the round-1 425.8 img/s artifact).
-    """
-    import optax  # noqa: F401  (train deps)
-
-    from progressive_process_for_human_pose_estimation_tpu.losses import ce_loss
-    from progressive_process_for_human_pose_estimation_tpu.models import build_model
-    from progressive_process_for_human_pose_estimation_tpu.train import (
-        create_train_state,
-        make_train_step,
+    """Training-step throughput (fwd+bwd+Adam+BN stats), best measured remat
+    config (see bench/timing.measure_train_throughput for the DCE-proof
+    methodology and ROUND3_NOTES for the sweep that picked this config)."""
+    from progressive_process_for_human_pose_estimation_tpu.bench.timing import (
+        measure_train_throughput,
     )
+    from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
-    batch = 8
     model = build_model("hourglass8_skeleton", remat=True)
-    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
-    state = create_train_state(model, jax.random.PRNGKey(0), x)
-    target = jnp.zeros((batch, 64, 64), jnp.int32)
-
-    def objective(outs, b, epoch):
-        loss = sum(ce_loss(o, b["target"]) for o in outs)
-        return loss, {"loss": loss}
-
-    step = make_train_step(model, objective, donate=False)
-
-    def chained(n):
-        @jax.jit
-        def f(state, x):
-            def body(i, carry):
-                st, acc = carry
-                b = {"image": x + i.astype(x.dtype) * 1e-6, "target": target}
-                st, m = step(st, b)
-                return st, acc + m["loss"]
-
-            st, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
-            return acc + jax.tree.leaves(st.params)[0].astype(jnp.float32).sum()
-
-        return f
-
-    n_lo, n_hi, results = 2, 12, {}
-    for n in (n_lo, n_hi):
-        f = chained(n)
-        float(f(state, x))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(f(state, x))
-            ts.append(time.perf_counter() - t0)
-        results[n] = min(ts)
-    dt = (results[n_hi] - results[n_lo]) / (n_hi - n_lo)
+    ips, _ = measure_train_throughput(model, batch=8)
     print(
         json.dumps(
             {
                 "metric": "training images/sec/chip, 8-stack hourglass, "
                           "256x256, bf16, fwd+bwd+Adam",
-                "value": round(batch / dt, 1),
+                "value": round(ips, 1),
                 "unit": "images/sec",
                 "vs_baseline": None,
             }
         )
     )
+
+
+def train_sweep():
+    """Remat-config sweep for the training step (one JSON line per config)."""
+    from progressive_process_for_human_pose_estimation_tpu.bench.timing import (
+        measure_train_throughput,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.models import build_model
+
+    configs = [
+        ("no_remat_b8", dict(), 8),
+        ("remat_b8", dict(remat=True), 8),
+        ("remat_nocse_b8", dict(remat=True, remat_prevent_cse=False), 8),
+        ("remat_dots_b8", dict(remat=True, remat_policy="dots"), 8),
+        ("remat_dnb_b8", dict(remat=True, remat_policy="dots_no_batch"), 8),
+        ("remat_b4", dict(remat=True), 4),
+        ("remat_b6", dict(remat=True), 6),
+    ]
+    for name, kw, batch in configs:
+        model = build_model("hourglass8_skeleton", **kw)
+        try:
+            ips, dt = measure_train_throughput(model, batch=batch)
+            print(json.dumps({"config": name, "img_per_sec": round(ips, 1),
+                              "ms_per_step": round(dt * 1e3, 2)}), flush=True)
+        except Exception as e:  # keep sweeping past OOM/compile failures
+            print(json.dumps({"config": name, "error": str(e)[:200]}), flush=True)
 
 
 def main():
@@ -190,6 +173,8 @@ def main():
 if __name__ == "__main__":
     if "--roofline" in sys.argv:
         roofline()
+    elif "--train-sweep" in sys.argv:
+        train_sweep()
     elif "--train" in sys.argv:
         train_bench()
     else:

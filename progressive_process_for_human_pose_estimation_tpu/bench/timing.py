@@ -58,6 +58,64 @@ def measure_throughput(
     return x.shape[0] / dt, dt
 
 
+def measure_train_throughput(
+    model,
+    batch: int = 8,
+    size: int = 256,
+    n_lo: int = 2,
+    n_hi: int = 12,
+    repeats: int = 3,
+) -> Tuple[float, float]:
+    """Training-step images/sec: fwd + bwd + Adam + BN-stat updates.
+
+    The step is chained inside one fori_loop with the FULL TrainState as the
+    loop carry and a reduction over a param leaf in the result, so every
+    gradient and optimizer update stays live — returning a single leaf lets
+    XLA dead-code-eliminate most of the backward pass and overstate
+    throughput ~2x (the round-1 425.8 img/s artifact).
+    """
+    from ..losses import ce_loss
+    from ..train import create_train_state, make_train_step
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3),
+                          jnp.bfloat16)
+    state = create_train_state(model, jax.random.PRNGKey(0), x)
+    target = jnp.zeros((batch, size // 4, size // 4), jnp.int32)
+
+    def objective(outs, b, epoch):
+        loss = sum(ce_loss(o, b["target"]) for o in outs)
+        return loss, {"loss": loss}
+
+    step = make_train_step(model, objective, donate=False)
+
+    def chained(n):
+        @jax.jit
+        def f(state, x):
+            def body(i, carry):
+                st, acc = carry
+                b = {"image": x + i.astype(x.dtype) * 1e-6, "target": target}
+                st, m = step(st, b)
+                return st, acc + m["loss"]
+
+            st, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+            return acc + jax.tree.leaves(st.params)[0].astype(jnp.float32).sum()
+
+        return f
+
+    results = {}
+    for n in (n_lo, n_hi):
+        f = chained(n)
+        float(f(state, x))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(f(state, x))
+            best = min(best, time.perf_counter() - t0)
+        results[n] = best
+    dt = (results[n_hi] - results[n_lo]) / (n_hi - n_lo)
+    return batch / dt, dt
+
+
 def measure_latency(
     apply_fn: Callable, x: jax.Array, iters: int = 100, repeats: int = 3
 ) -> Tuple[float, float]:

@@ -8,11 +8,17 @@ numpy buffer — no per-image Python, no GIL. Opt-in via
 ``HostLoader(decode_backend="native")``; builds on first use with g++ and
 falls back to PIL if the toolchain or libjpeg is unavailable.
 
-Resize semantics: non-antialiased bilinear with half-pixel centers (the
-``jax.image.resize(..., "bilinear")`` convention). PIL's default resize is
-an antialiased filter, so downscaled pixels differ slightly — decode
-output is bit-identical (same codec), and label coordinates are unaffected
-(they scale from the original dims, which both paths return identically).
+Resize semantics (default): Pillow-parity separable antialiased bicubic —
+the same convolution resampling ``Image.resize``'s default BICUBIC filter
+performs (support widened by the downscale factor, a = -0.5 Keys kernel),
+within ~1/255 of PIL (PIL rounds its intermediate pass to uint8; the C
+path keeps float). ``antialias=False`` selects the legacy non-antialiased
+bilinear (the ``jax.image.resize(..., "bilinear")`` convention).
+``dct_scale=True`` opts into libjpeg scaled decode (1/2^k DCT scaling when
+the source is >= 4x the staging edge) — faster on large photos, no longer
+bit-parity with a full-resolution decode. Decode output is bit-identical
+to PIL (same codec), and label coordinates are unaffected (they scale from
+the original dims, which both paths return identically).
 """
 
 from __future__ import annotations
@@ -57,6 +63,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
+        ctypes.c_int,  # antialias (PIL-parity bicubic)
+        ctypes.c_int,  # dct_scale
     ]
     return lib
 
@@ -72,9 +80,19 @@ def native_available() -> bool:
 
 
 def decode_resize_batch(
-    paths: List[str], staging: int, n_threads: Optional[int] = None
+    paths: List[str],
+    staging: int,
+    n_threads: Optional[int] = None,
+    antialias: bool = True,
+    dct_scale: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode+resize a batch of JPEG files.
+
+    ``antialias=True`` (default) is Pillow-parity bicubic (the filter
+    ``Image.resize`` applies by default, /root/reference/train.py:654);
+    False is the legacy non-antialiased bilinear. ``dct_scale=True`` lets
+    libjpeg decode at a reduced DCT scale on large sources (faster,
+    non-bit-parity; see module docstring).
 
     Returns (images float32 (N, staging, staging, 3) in [0,1],
     dims int32 (N, 2) original (h, w)). Raises RuntimeError if the library
@@ -91,6 +109,8 @@ def decode_resize_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n_threads or (os.cpu_count() or 1),
+        int(antialias),
+        int(dct_scale),
     )
     if failures:
         bad = [p for p, (h, w) in zip(paths, dims) if h == 0 and w == 0]

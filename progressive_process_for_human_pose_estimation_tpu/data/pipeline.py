@@ -376,8 +376,9 @@ class HostLoader:
         self.drop_remainder = drop_remainder
         # 'native' = C++ libjpeg thread-pool feeder (data/native.py): one C
         # call decodes+resizes the whole batch; falls back to PIL when the
-        # library can't build. Resize is non-antialiased bilinear there
-        # (PIL's is antialiased) — decode itself is the same codec.
+        # library can't build. Decode is the same codec as PIL; resize is
+        # Pillow-parity antialiased bicubic (within ~1/255 of Image.resize's
+        # default filter — golden-tested in tests/test_native_feeder.py).
         if decode_backend == "native":
             from .native import native_available
 

@@ -76,6 +76,12 @@ class StackedHourglass(nn.Module):
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
     remat: bool = False  # rematerialize each hourglass in the backward pass
+    # Remat tuning knobs (measured in bench/train_sweep; numerics identical):
+    # remat_policy: None = save nothing (jax.checkpoint default), 'dots' =
+    # keep MXU outputs (jax.checkpoint_policies.checkpoint_dots), and
+    # 'dots_no_batch' = dots_with_no_batch_dims_saveable.
+    remat_policy: Optional[str] = None
+    remat_prevent_cse: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -93,7 +99,20 @@ class StackedHourglass(nn.Module):
         # is recomputed during the backward pass, trading one extra forward
         # inside the stack for a much smaller live working set. Pure
         # jax.checkpoint via nn.remat — numerics identical.
-        HG = nn.remat(RecursiveHourglass) if self.remat else RecursiveHourglass
+        if self.remat:
+            policy = {
+                None: None,
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "dots_no_batch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }[self.remat_policy]
+            HG = nn.remat(
+                RecursiveHourglass,
+                prevent_cse=self.remat_prevent_cse,
+                policy=policy,
+            )
+        else:
+            HG = RecursiveHourglass
 
         y = Conv(64, 7, 2, 3, name="conv1", **ckw)(x)
         y = nn.relu(y)

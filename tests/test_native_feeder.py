@@ -61,7 +61,7 @@ class TestNativeFeeder:
         assert tuple(dims[0]) == (64, 64)
         np.testing.assert_allclose(out[0], pil, atol=1e-6)
 
-    def test_resize_tracks_pil_bilinear(self, jpegs):
+    def test_resize_matches_pil_default_bicubic(self, jpegs):
         from PIL import Image
 
         paths, _ = jpegs
@@ -69,14 +69,68 @@ class TestNativeFeeder:
         for p, got, hw in zip(paths, out, dims):
             pil = Image.open(p).convert("RGB")
             assert tuple(hw) == (pil.size[1], pil.size[0])
+            # The DEFAULT PIL resize (no filter arg) — exactly what the
+            # reference stages through (/root/reference/train.py:654).
+            ref = np.asarray(pil.resize((32, 32)), np.float32) / 255.0
+            # Same filter; PIL rounds its intermediate pass to uint8, we
+            # keep float → per-pixel differences stay within ~1/255.
+            assert np.abs(got - ref).max() < 1.5 / 255
+            assert np.abs(got - ref).mean() < 0.5 / 255
+
+    def test_antialias_on_noise(self, tmp_path):
+        # High-frequency content is where a non-antialiased resize diverges
+        # wildly from PIL (it point-samples instead of low-passing); the
+        # parity filter must stay tight even here.
+        from PIL import Image
+
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, (64, 96, 3), np.uint8).astype(np.uint8)
+        p = str(tmp_path / "noise.png")  # PNG: lossless, isolates the resize
+        Image.fromarray(arr).save(p)
+        # Feed the decoded PNG back through a lossless JPEG? Not possible —
+        # so write a q=100 JPEG and compare both paths on the SAME decode.
+        pj = str(tmp_path / "noise.jpg")
+        Image.fromarray(arr).save(pj, quality=100)
+        got, _ = decode_resize_batch([pj], 32)
+        ref = (
+            np.asarray(Image.open(pj).convert("RGB").resize((32, 32)),
+                       np.float32) / 255.0
+        )
+        assert np.abs(got[0] - ref).max() < 2.0 / 255
+        assert np.abs(got[0] - ref).mean() < 0.5 / 255
+
+    def test_legacy_bilinear_mode(self, jpegs):
+        from PIL import Image
+
+        paths, _ = jpegs
+        out, _ = decode_resize_batch(paths, 32, antialias=False)
+        for p, got in zip(paths, out):
             ref = (
-                np.asarray(pil.resize((32, 32), Image.BILINEAR), np.float32)
-                / 255.0
+                np.asarray(
+                    Image.open(p).convert("RGB").resize((32, 32),
+                                                        Image.BILINEAR),
+                    np.float32,
+                ) / 255.0
             )
-            # Non-antialiased vs PIL's antialiased bilinear: close on smooth
-            # content, not identical.
+            # Non-antialiased vs antialiased bilinear: close on smooth
+            # gradients only.
             assert np.abs(got - ref).mean() < 0.02
-            assert np.abs(got - ref).max() < 0.15
+
+    def test_dct_scale_close_to_full_decode(self, tmp_path):
+        # A 512x512 source decoded at 1/2 DCT scale then resized to 64 must
+        # land near the full-decode result (not bit-parity — documented).
+        from PIL import Image
+
+        yy, xx = np.mgrid[0:512, 0:512]
+        arr = np.stack([255 * yy / 511, 255 * xx / 511,
+                        np.full((512, 512), 90.0)], axis=-1).astype(np.uint8)
+        p = str(tmp_path / "big.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        full, dims_full = decode_resize_batch([p], 64)
+        scaled, dims_scaled = decode_resize_batch([p], 64, dct_scale=True)
+        np.testing.assert_array_equal(dims_full, dims_scaled)  # ORIGINAL dims
+        assert tuple(dims_scaled[0]) == (512, 512)
+        assert np.abs(full - scaled).mean() < 0.01
 
     def test_failure_raises(self, tmp_path, jpegs):
         paths, _ = jpegs
