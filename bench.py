@@ -144,14 +144,64 @@ def train_sweep():
             print(json.dumps({"config": name, "error": str(e)[:200]}), flush=True)
 
 
-def main():
+def int8_bench():
+    """End-to-end flagship throughput with the fused-Pallas int8 path
+    (pallas_kernels/int8_fused.py) vs the exact-bf16 headline. Also prints
+    the XLA-formulation int8 number (the round-2 path that loses to bf16)
+    so the fused kernel's effect is visible."""
+    from progressive_process_for_human_pose_estimation_tpu.models import build_model
+    from progressive_process_for_human_pose_estimation_tpu.pallas_kernels.int8_fused import (
+        build_int8_pallas_apply,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.pallas_kernels.int8_infer import (
+        build_int8_apply,
+        calibrate,
+    )
+
+    batch = 8
+    model = build_model("hourglass8_skeleton", use_running_average=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    ips_bf16, _ = timed_throughput(
+        lambda xx: model.apply(variables, xx), x, batch, n_lo=4, n_hi=40
+    )
+    scales = calibrate(model, variables, x)
+    results = {"bf16": round(ips_bf16, 1)}
+    for name, fast in (
+        ("int8_fused_pallas", build_int8_pallas_apply(model, variables, scales)),
+        ("int8_xla", build_int8_apply(model, variables, scales)),
+    ):
+        try:
+            ips, _ = timed_throughput(fast, x, batch, n_lo=4, n_hi=40)
+            results[name] = round(ips, 1)
+        except Exception as e:
+            results[name] = f"error: {str(e)[:160]}"
+        print(json.dumps({k: v for k, v in results.items()}), flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip, 8-stack hourglass, 256x256, "
+                          "int8 fused pallas",
+                "value": results.get("int8_fused_pallas"),
+                "unit": "images/sec",
+                "vs_baseline": None,
+                "note": "int8 ceiling ~3280 img/s at the measured 319 TOPS "
+                        "(BASELINE.md); numerics differ from exact bf16",
+            }
+        )
+    )
+
+
+def main(fused_eval=False):
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
     # Batch sweep on this chip: 8 -> 1270, 16 -> 1260, 32 -> 1098, 64 -> 986,
     # 128 -> 1023, 256 -> 969 img/s — smaller batches keep the 64x64x256
     # activations closer to on-chip memory, so the headline runs at batch 8.
     batch = 8
-    model = build_model("hourglass8_skeleton", use_running_average=True)
+    model = build_model("hourglass8_skeleton", use_running_average=True,
+                        fused_eval=fused_eval)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), x)
 
@@ -177,5 +227,11 @@ if __name__ == "__main__":
         train_sweep()
     elif "--train" in sys.argv:
         train_bench()
+    elif "--int8" in sys.argv:
+        int8_bench()
+    elif "--hybrid" in sys.argv:
+        # fused_eval=True: Pallas kernels at the 8²-16² hourglass levels
+        # inside the standard flax model (XLA everywhere else).
+        main(fused_eval=True)
     else:
         main()

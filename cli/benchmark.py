@@ -23,6 +23,10 @@ def parse_args(argv=None):
     p.add_argument("--train", action="store_true",
                    help="measure the full training step (fwd+bwd+Adam) instead "
                         "of inference")
+    p.add_argument("--int8", action="store_true",
+                   help="run inference through the fused-Pallas int8 path "
+                        "(static calibration on the bench batch; different "
+                        "numerics from bf16 — see BASELINE.md 'int8 ceiling')")
     p.add_argument("--json", action="store_true", help="print one JSON line")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace (xplane, for TensorBoard "
@@ -92,6 +96,18 @@ def main(argv=None):
             ) + loss
 
         apply_fn = step_fn
+    elif args.int8:
+        from progressive_process_for_human_pose_estimation_tpu.pallas_kernels.int8_fused import (
+            build_int8_pallas_apply,
+        )
+        from progressive_process_for_human_pose_estimation_tpu.pallas_kernels.int8_infer import (
+            calibrate,
+        )
+
+        model = build_model_from_args(args, use_running_average=True)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        scales = calibrate(model, variables, x)
+        apply_fn = build_int8_pallas_apply(model, variables, scales)
     else:
         model = build_model_from_args(args, use_running_average=True)
         variables = model.init(jax.random.PRNGKey(0), x)

@@ -77,6 +77,7 @@ def main(argv=None):
     from progressive_process_for_human_pose_estimation_tpu.data import make_render_fn
     from progressive_process_for_human_pose_estimation_tpu.train import (
         create_train_state,
+        donation_supported,
         fit_epoch,
         load_loss_history,
         make_train_step,
@@ -117,10 +118,11 @@ def main(argv=None):
                              fine_tune=args.fine_tune)
 
     objective = OBJECTIVES[args.objective]
-    # donate=True: the step consumes the old TrainState buffers in place
-    # (orbax save copies device->host before returning, so the async
-    # checkpoint never races the donation).
-    step_fn = make_train_step(model, objective, donate=True)
+    # Donate where the backend supports it: the step then consumes the old
+    # TrainState buffers in place (orbax save copies device->host before
+    # returning, so the async checkpoint never races the donation). The
+    # axon tunnel hangs on donated executables — see donation_supported.
+    step_fn = make_train_step(model, objective, donate=donation_supported())
     mesh = parallel.mesh_for_batch(args.batch_size)
     if mesh is not None:
         # Commit params/opt state to the global mesh before the jitted step

@@ -82,6 +82,9 @@ class StackedHourglass(nn.Module):
     # 'dots_no_batch' = dots_with_no_batch_dims_saveable.
     remat_policy: Optional[str] = None
     remat_prevent_cse: bool = True
+    # Eval-time Pallas fusion of the 8²-16² hourglass levels (see
+    # ResidualBlockLite.fused_eval); inference-only, shape-gated.
+    fused_eval: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -93,6 +96,9 @@ class StackedHourglass(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        # Residual/hourglass modules additionally take the fusion flag
+        # (ConvBNReLU/Conv do not).
+        rkw = dict(kw, fused_eval=self.fused_eval)
         ckw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         f = self.features
         # Training-memory knob: each hourglass (the bulk of live activations)
@@ -116,17 +122,17 @@ class StackedHourglass(nn.Module):
 
         y = Conv(64, 7, 2, 3, name="conv1", **ckw)(x)
         y = nn.relu(y)
-        y = ResidualBlockLite(128, name="residual1", **kw)(y)
+        y = ResidualBlockLite(128, name="residual1", **rkw)(y)
         y = max_pool_2x2(y)
-        y = ResidualBlockLite(128, name="residual2", **kw)(y)
-        inter = ResidualBlockLite(f, name="residual3", **kw)(y)
+        y = ResidualBlockLite(128, name="residual2", **rkw)(y)
+        inter = ResidualBlockLite(f, name="residual3", **rkw)(y)
 
         if self.share_weights:
             hourglass = HG(
                 f, self.hourglass_depth, self.n_modules, share_weights=True,
-                name="hourglass1", **kw,
+                name="hourglass1", **rkw,
             )
-            residual4 = ResidualBlockLite(f, name="residual4", **kw)
+            residual4 = ResidualBlockLite(f, name="residual4", **rkw)
             lin = ConvBNReLU(f, 1, name="lin", **kw)
             head = Conv(self.out_channels, 1, 1, 0, name="conv2", **ckw)
             ret_ll = Conv(f, 1, 1, 0, name="conv3", **ckw)
@@ -137,9 +143,9 @@ class StackedHourglass(nn.Module):
                 (
                     HG(
                         f, self.hourglass_depth, self.n_modules, share_weights=False,
-                        name=f"hourglass_{i}", **kw,
+                        name=f"hourglass_{i}", **rkw,
                     ),
-                    ResidualBlockLite(f, name=f"residual4_{i}", **kw),
+                    ResidualBlockLite(f, name=f"residual4_{i}", **rkw),
                     ConvBNReLU(f, 1, name=f"lin_{i}", **kw),
                     Conv(self.out_channels, 1, 1, 0, name=f"conv2_{i}", **ckw),
                     Conv(f, 1, 1, 0, name=f"conv3_{i}", **ckw),

@@ -235,6 +235,13 @@ class ResidualBlockLite(nn.Module):
     features: int
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
+    # Inference fusion: at eval time, equal-channel blocks at 8²-16² spatial
+    # run as ONE Pallas kernel (BN-folded affines + three MXU matmul groups
+    # out of VMEM) instead of ~15 XLA ops — measured 3x faster at these
+    # latency-bound sizes, while XLA's own conv fusion wins at ≥32²
+    # (ROUND2_NOTES), hence the shape gate. Parameter pytree is unchanged;
+    # numerics are the folded eval-mode math (rel err ≤0.7% bf16 on chip).
+    fused_eval: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -249,6 +256,30 @@ class ResidualBlockLite(nn.Module):
         mid = self.features // 2
         residual = x
         in_features = x.shape[-1]
+
+        if (
+            self.fused_eval
+            and self.use_running_average
+            and not self.is_initializing()
+            and in_features == self.features
+            and x.ndim == 4
+            and x.shape[1] == x.shape[2]
+            and 8 <= x.shape[1] <= 16
+        ):
+            from ..pallas_kernels.fused_residual import (
+                fold_lite_residual_params,
+                lite_residual_pallas,
+            )
+
+            fp = fold_lite_residual_params(
+                self.variables["params"], self.variables["batch_stats"],
+                self.dtype,
+            )
+            # Interpret off-TPU so the CPU test mesh can execute the model.
+            return lite_residual_pallas(
+                x.astype(self.dtype), fp,
+                interpret=jax.default_backend() != "tpu",
+            )
 
         y = BatchNorm(name="bn1", **bnkw)(x)
         y = nn.relu(y)

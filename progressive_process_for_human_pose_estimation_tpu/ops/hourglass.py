@@ -149,6 +149,7 @@ class RecursiveHourglass(nn.Module):
     aspp_bottleneck: bool = False
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
+    fused_eval: bool = False  # see ResidualBlockLite.fused_eval
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -157,6 +158,7 @@ class RecursiveHourglass(nn.Module):
         kw = dict(
             use_running_average=self.use_running_average,
             bn_axis_name=self.bn_axis_name,
+            fused_eval=self.fused_eval,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

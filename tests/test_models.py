@@ -112,3 +112,29 @@ class TestRegistry:
     def test_presets_buildable(self, name):
         model = build_model(name, dtype=jnp.float32)
         assert model is not None
+
+
+class TestFusedEval:
+    def test_fused_eval_matches_plain(self):
+        """fused_eval swaps the 8²-16² residuals for the Pallas kernel
+        (interpret mode on CPU); outputs must match the plain eval path to
+        folded-BN tolerance with an identical parameter pytree."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            StackedHourglass,
+        )
+
+        kw = dict(n_stack=2, out_channels=8, features=16, hourglass_depth=2,
+                  use_running_average=True, dtype=jnp.float32)
+        plain = StackedHourglass(**kw)
+        fused = StackedHourglass(fused_eval=True, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+        v = plain.init(jax.random.PRNGKey(0), x)
+        ref = plain.apply(v, x)
+        out = fused.apply(v, x)  # same variables: pytree is unchanged
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
