@@ -92,3 +92,26 @@ class TestMaskGatedPredict:
              "--out", out_png]
         )
         assert os.path.exists(out_png)
+
+
+class TestBenchmarkSmoke:
+    def test_inference_json(self):
+        from cli import benchmark
+
+        out = benchmark.main(
+            ["--preset", "progressive_coco", "--features", "16",
+             "--hourglass-depth", "1", "--dtype", "float32",
+             "--input-size", "32", "--batch", "2", "--json"]
+        )
+        assert out["images_per_sec"] > 0
+        assert out["sec_per_batch"] > 0
+
+    def test_train_step_mode(self):
+        from cli import benchmark
+
+        out = benchmark.main(
+            ["--preset", "progressive_coco", "--features", "16",
+             "--hourglass-depth", "1", "--dtype", "float32",
+             "--input-size", "32", "--batch", "2", "--train", "--json"]
+        )
+        assert out["images_per_sec"] > 0

@@ -209,3 +209,13 @@ class TestAsyncCheckpoint:
         b = np.asarray(jax.tree.leaves(restored.params)[0])
         np.testing.assert_array_equal(a, b)
         assert load_loss_history(path)["loss"] == [1.0, 0.5]
+
+
+class TestDonationGate:
+    def test_donation_supported_on_cpu(self):
+        # CPU test backend is not the axon tunnel -> donation is safe.
+        from progressive_process_for_human_pose_estimation_tpu.train import (
+            donation_supported,
+        )
+
+        assert donation_supported() is True
