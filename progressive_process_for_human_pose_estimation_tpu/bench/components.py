@@ -158,11 +158,8 @@ def flagship_budget(batch: int = 8, features: int = 256, peak_tflops: float = 19
     def timed_apply(module, shape, n_lo=64, n_hi=576):
         x = jax.random.normal(key, shape, jnp.bfloat16)
         variables = module.init(jax.random.PRNGKey(1), x)
-        if "batch_stats" in variables:
-            apply = lambda xx: module.apply(variables, xx)
-        else:
-            apply = lambda xx: module.apply(variables, xx)
-        return time_fn(apply, x, n_lo=n_lo, n_hi=n_hi)
+        return time_fn(lambda xx: module.apply(variables, xx), x,
+                       n_lo=n_lo, n_hi=n_hi)
 
     class ResPair(nn.Module):
         feats: int
