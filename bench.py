@@ -133,6 +133,11 @@ def train_sweep():
         ("remat_dnb_b8", dict(remat=True, remat_policy="dots_no_batch"), 8),
         ("remat_b4", dict(remat=True), 4),
         ("remat_b6", dict(remat=True), 6),
+        ("scan_b8", dict(scan_stacks=True), 8),
+        ("scan_remat_b8", dict(scan_stacks=True, remat=True), 8),
+        ("scan_remat_dots_b8",
+         dict(scan_stacks=True, remat=True, remat_policy="dots"), 8),
+        ("scan_remat_b16", dict(scan_stacks=True, remat=True), 16),
     ]
     for name, kw, batch in configs:
         model = build_model("hourglass8_skeleton", **kw)

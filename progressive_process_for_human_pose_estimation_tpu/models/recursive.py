@@ -57,6 +57,36 @@ MPII_SKELETON = np.array(
 )
 
 
+def _merge_matrix(variant: str, out_channels: int, sks: np.ndarray):
+    """Constant contraction matrix for the cross-channel output arithmetic.
+
+    Every variant's channel arithmetic is linear in ``head_out``, so it is
+    evaluated as one matmul (head_out @ M) instead of channel gathers +
+    concatenate — the MXU eats the tiny matmul while the gather formulation
+    costs real HBM traffic per stack (measured; numerics identical, the
+    matrix rows are the same +/-1 sums the gathers compute).
+    """
+    c = out_channels
+    if variant in ("skeleton_from_keypoints", "skeleton_from_keypoints_merge"):
+        m = np.zeros((c, c + len(sks)), np.float32)
+        m[np.arange(c), np.arange(c)] = 1.0
+        for e, (j0, j1) in enumerate(sks):
+            m[j0 + 1, c + e] += 1.0
+            m[j1 + 1, c + e] += 1.0
+        return m
+    if variant == "skeleton_merge":
+        base = c - len(sks)
+        m = np.zeros((c, c), np.float32)
+        m[np.arange(c), np.arange(c)] = 1.0
+        for e, (j0, j1) in enumerate(sks):
+            d = base + e
+            m[0, d] -= 1.0
+            m[j0, d] += 1.0
+            m[j1, d] += 1.0
+        return m
+    return None
+
+
 class StackedHourglass(nn.Module):
     """Recursive stacked hourglass (/root/reference/only_one_hourgless.py:215-254).
 
@@ -82,6 +112,15 @@ class StackedHourglass(nn.Module):
     # 'dots_no_batch' = dots_with_no_batch_dims_saveable.
     remat_policy: Optional[str] = None
     remat_prevent_cse: bool = True
+    # Compile the weight-shared stacks as ONE ``lax.scan`` iteration instead
+    # of 8 unrolled copies: carry = the inter feature map, broadcast = the
+    # shared params, carried batch_stats so the 8 sequential running-stat
+    # updates compound in stack order exactly like the Python loop. Param
+    # tree is IDENTICAL to the loop form (function-form nn.scan over `self`),
+    # so checkpoints are interchangeable. With ``remat`` the whole stack body
+    # (not just the hourglass) is rematerialized per iteration — the
+    # scan-over-remat training pattern. Requires share_weights=True.
+    scan_stacks: bool = False
     # Eval-time Pallas fusion of the 8²-16² hourglass levels (see
     # ResidualBlockLite.fused_eval); inference-only, shape-gated.
     fused_eval: bool = False
@@ -104,14 +143,19 @@ class StackedHourglass(nn.Module):
         # Training-memory knob: each hourglass (the bulk of live activations)
         # is recomputed during the backward pass, trading one extra forward
         # inside the stack for a much smaller live working set. Pure
-        # jax.checkpoint via nn.remat — numerics identical.
-        if self.remat:
-            policy = {
-                None: None,
-                "dots": jax.checkpoint_policies.checkpoint_dots,
-                "dots_no_batch":
-                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            }[self.remat_policy]
+        # jax.checkpoint via nn.remat — numerics identical. Under
+        # ``scan_stacks`` the remat boundary moves to the whole stack body
+        # instead (see below).
+        policy = {
+            None: None,
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "dots_no_batch":
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }[self.remat_policy]
+        use_scan = self.scan_stacks and self.n_stack > 1
+        if self.scan_stacks and not self.share_weights:
+            raise ValueError("scan_stacks requires share_weights=True")
+        if self.remat and not use_scan:
             HG = nn.remat(
                 RecursiveHourglass,
                 prevent_cse=self.remat_prevent_cse,
@@ -127,7 +171,9 @@ class StackedHourglass(nn.Module):
         y = ResidualBlockLite(128, name="residual2", **rkw)(y)
         inter = ResidualBlockLite(f, name="residual3", **rkw)(y)
 
-        if self.share_weights:
+        if use_scan:
+            stack_mods = []
+        elif self.share_weights:
             hourglass = HG(
                 f, self.hourglass_depth, self.n_modules, share_weights=True,
                 name="hourglass1", **rkw,
@@ -155,37 +201,85 @@ class StackedHourglass(nn.Module):
             ]
 
         sks = self.skeleton if self.skeleton is not None else COCO_SKELETON
-        # The cross-channel output arithmetic of every variant is linear in
-        # head_out, so it is evaluated as one constant-matrix contraction
-        # (head_out @ M) instead of channel gathers + concatenate — the MXU
-        # eats the tiny matmul while the gather formulation costs real HBM
-        # traffic per stack (measured; numerics identical, the matrix rows
-        # are the same +/-1 sums the gathers compute).
-        merge_m = None
-        if self.variant in ("skeleton_from_keypoints", "skeleton_from_keypoints_merge"):
-            c = self.out_channels
-            m = np.zeros((c, c + len(sks)), np.float32)
-            m[np.arange(c), np.arange(c)] = 1.0
-            for e, (j0, j1) in enumerate(sks):
-                m[j0 + 1, c + e] += 1.0
-                m[j1 + 1, c + e] += 1.0
-            merge_m = jnp.asarray(m, self.dtype)
-        elif self.variant == "skeleton_merge":
-            c = self.out_channels
-            base = c - len(sks)
-            m = np.zeros((c, c), np.float32)
-            m[np.arange(c), np.arange(c)] = 1.0
-            for e, (j0, j1) in enumerate(sks):
-                d = base + e
-                m[0, d] -= 1.0
-                m[j0, d] += 1.0
-                m[j1, d] += 1.0
-            merge_m = jnp.asarray(m, self.dtype)
+        if self.variant not in (
+            "plain",
+            "skeleton_from_keypoints",
+            "skeleton_from_keypoints_merge",
+            "skeleton_merge",
+        ):
+            raise ValueError(f"unknown variant {self.variant!r}")
+        m = _merge_matrix(self.variant, self.out_channels, sks)
+        merge_m = None if m is None else jnp.asarray(m, self.dtype)
 
         def apply_merge(head_out):
             return jax.lax.dot_general(
                 head_out, merge_m, (((3,), (0,)), ((), ()))
             )
+
+        if use_scan:
+            # Function-form nn.scan over `self`: submodules created inside
+            # the body land directly in this module's scope under the SAME
+            # names as the loop form, so the param pytree (and therefore
+            # checkpoints and torch weight transfer) is identical. The only
+            # semantic deviation from the loop: conv3/conv4 also run on the
+            # last stack and their result is discarded (two 1x1 convs of
+            # extra FLOPs, no param or output difference).
+            def stack_body(mdl, inter, _):
+                ll = RecursiveHourglass(
+                    f, self.hourglass_depth, self.n_modules,
+                    share_weights=True, name="hourglass1", **rkw,
+                )(inter)
+                res_m = ResidualBlockLite(f, name="residual4", **rkw)
+                for _ in range(self.n_modules):
+                    ll = res_m(ll)
+                ll = ConvBNReLU(f, 1, name="lin", **kw)(ll)
+                head_out = Conv(
+                    self.out_channels, 1, 1, 0, name="conv2", **ckw
+                )(ll)
+                if self.variant == "plain":
+                    stack_out, return_feed = head_out, head_out
+                else:
+                    stack_out = apply_merge(head_out)
+                    return_feed = (
+                        head_out
+                        if self.variant == "skeleton_from_keypoints"
+                        else stack_out
+                    )
+                new_inter = (
+                    Conv(f, 1, 1, 0, name="conv3", **ckw)(ll)
+                    + Conv(f, 1, 1, 0, name="conv4", **ckw)(return_feed)
+                )
+                return new_inter, stack_out
+
+            if self.remat:
+                stack_body = nn.remat(
+                    stack_body,
+                    prevent_cse=self.remat_prevent_cse,
+                    policy=policy,
+                )
+            # Running BN statistics are a sequential dependence across
+            # stacks (each of the 8 calls compounds the EMA), so in training
+            # they ride the scan carry; in eval they are read-only and
+            # broadcast like the params.
+            if self.use_running_average:
+                broadcast, carry_cols = ("params", "batch_stats"), ()
+            else:
+                broadcast, carry_cols = ("params",), ("batch_stats",)
+            if self.is_initializing():
+                # Trace the body ONCE outside lax.scan so every param and BN
+                # variable is created before scan checks its carry structure
+                # (shapes don't depend on the iteration index).
+                _, stack_out = stack_body(self, inter, None)
+                return [stack_out] * self.n_stack
+            scan_fn = nn.scan(
+                stack_body,
+                variable_broadcast=broadcast,
+                variable_carry=carry_cols,
+                split_rngs={"params": False},
+                length=self.n_stack,
+            )
+            _, stacked = scan_fn(self, inter, None)
+            return [stacked[i] for i in range(self.n_stack)]
 
         outs = []
         for i, (hg_m, res_m, lin_m, head_m, ret_ll_m, ret_out_m) in enumerate(stack_mods):

@@ -389,3 +389,48 @@ class TestProgressiveRecursiveASPPParity:
         # (try_more_layer.py:357-361 with weight sharing); a structural
         # property worth pinning.
         np.testing.assert_array_equal(np.asarray(j_outs[2]), np.asarray(j_outs[3]))
+
+
+class TestScanStacksParity:
+    """scan_stacks=True compiles the weight-shared stacks as one lax.scan;
+    param tree and numerics must match the unrolled loop exactly (eval) /
+    to float-reassociation tolerance (train). See StackedHourglass.scan_stacks."""
+
+    KW = dict(features=16, n_stack=3, out_channels=38, n_modules=1,
+              hourglass_depth=2, variant="skeleton_merge", dtype=jnp.float32)
+
+    def test_param_tree_identical_and_eval_exact(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+        loop = StackedHourglass(**self.KW)
+        scan = StackedHourglass(scan_stacks=True, **self.KW)
+        vloop = loop.init(jax.random.PRNGKey(1), x)
+        vscan = scan.init(jax.random.PRNGKey(1), x)
+        assert (jax.tree_util.tree_structure(vloop)
+                == jax.tree_util.tree_structure(vscan))
+        le = StackedHourglass(use_running_average=True, **self.KW)
+        se = StackedHourglass(use_running_average=True, scan_stacks=True, **self.KW)
+        for a, b in zip(le.apply(vloop, x), se.apply(vloop, x)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_mode_bn_carry(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+        loop = StackedHourglass(**self.KW)
+        scan = StackedHourglass(scan_stacks=True, **self.KW)
+        v = loop.init(jax.random.PRNGKey(1), x)
+        o1, m1 = loop.apply(v, x, mutable=["batch_stats"])
+        o2, m2 = scan.apply(v, x, mutable=["batch_stats"])
+        # 8 sequential EMA updates compound in stack order under the scan
+        # carry exactly as in the loop (reassociation-level tolerance only).
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            m1, m2)
+        for a, b in zip(o1, o2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_scan_requires_weight_sharing(self):
+        m = StackedHourglass(scan_stacks=True, share_weights=False, **{
+            k: v for k, v in self.KW.items() if k != "variant"})
+        with pytest.raises(ValueError, match="share_weights"):
+            m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
