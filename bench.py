@@ -125,22 +125,31 @@ def train_sweep():
     )
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
+    flag = "hourglass8_skeleton"
+    prog = "progressive_mpii"
     configs = [
-        ("no_remat_b8", dict(), 8),
-        ("remat_b8", dict(remat=True), 8),
-        ("remat_nocse_b8", dict(remat=True, remat_prevent_cse=False), 8),
-        ("remat_dots_b8", dict(remat=True, remat_policy="dots"), 8),
-        ("remat_dnb_b8", dict(remat=True, remat_policy="dots_no_batch"), 8),
-        ("remat_b4", dict(remat=True), 4),
-        ("remat_b6", dict(remat=True), 6),
-        ("scan_b8", dict(scan_stacks=True), 8),
-        ("scan_remat_b8", dict(scan_stacks=True, remat=True), 8),
-        ("scan_remat_dots_b8",
+        ("no_remat_b8", flag, dict(), 8),
+        ("remat_b8", flag, dict(remat=True), 8),
+        ("remat_nocse_b8", flag, dict(remat=True, remat_prevent_cse=False), 8),
+        ("remat_dots_b8", flag, dict(remat=True, remat_policy="dots"), 8),
+        ("remat_dnb_b8", flag, dict(remat=True, remat_policy="dots_no_batch"), 8),
+        ("remat_b4", flag, dict(remat=True), 4),
+        ("remat_b6", flag, dict(remat=True), 6),
+        ("scan_b8", flag, dict(scan_stacks=True), 8),
+        ("scan_remat_b8", flag, dict(scan_stacks=True, remat=True), 8),
+        ("scan_remat_dots_b8", flag,
          dict(scan_stacks=True, remat=True, remat_policy="dots"), 8),
-        ("scan_remat_b16", dict(scan_stacks=True, remat=True), 16),
+        ("scan_remat_b16", flag, dict(scan_stacks=True, remat=True), 16),
+        ("prog_b8", prog, dict(), 8),
+        ("prog_b16", prog, dict(), 16),
+        ("prog_b32", prog, dict(), 32),
+        ("prog_remat_b16", prog, dict(remat=True), 16),
     ]
-    for name, kw, batch in configs:
-        model = build_model("hourglass8_skeleton", **kw)
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    for name, preset, kw, batch in configs:
+        if only and not any(s in name for s in only):
+            continue
+        model = build_model(preset, **kw)
         try:
             ips, dt = measure_train_throughput(model, batch=batch)
             print(json.dumps({"config": name, "img_per_sec": round(ips, 1),

@@ -32,6 +32,11 @@ def add_model_args(p: argparse.ArgumentParser):
                         "Helps deep stacks (8-stack: +27%% measured), hurts "
                         "the shallow progressive family (-13%%) — see "
                         "ROUND2_NOTES 'Training step'")
+    p.add_argument("--scan-stacks", action="store_true",
+                   help="compile the weight-shared stacks as ONE lax.scan "
+                        "iteration instead of unrolling (StackedHourglass "
+                        "presets only; param tree unchanged, ~8x less "
+                        "compiled code — see ROUND3_NOTES)")
 
 
 def build_model_from_args(args, **extra):
@@ -54,6 +59,8 @@ def build_model_from_args(args, **extra):
         kw["out_channels"] = chans[0] if len(chans) == 1 else tuple(chans)
     if getattr(args, "remat", False):
         kw["remat"] = True
+    if getattr(args, "scan_stacks", False):
+        kw["scan_stacks"] = True
     kw.update(extra)
     return build_model(args.preset, **kw)
 

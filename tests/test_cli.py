@@ -107,3 +107,25 @@ class TestHeadValidation:
                 "--features", "16", "--hourglass-depth", "1",
                 "--input-size", "32", "--image-every", "0",
             ])
+
+
+class TestScanStacksCLI:
+    def test_train_scan_stacks_resume_into_loop(self, tmp_path):
+        """--scan-stacks trains, and its checkpoint loads into the unrolled
+        form (param trees are identical by construction)."""
+        from cli import evaluate, train
+
+        ckpt = str(tmp_path / "ckpt")
+        common = [
+            "--preset", "hourglass8_skeleton",
+            "--features", "16", "--hourglass-depth", "1",
+            "--dtype", "float32", "--input-size", "32",
+            "--batch-size", "2", "--n-synthetic", "4",
+        ]
+        state = train.main(
+            common + ["--epochs", "1", "--scan-stacks", "--save", ckpt]
+        )
+        assert int(state.epoch) == 1
+        # evaluate WITHOUT --scan-stacks: the loop form must accept the ckpt
+        curve = evaluate.main(common + ["--load", ckpt])
+        assert curve is not None
