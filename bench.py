@@ -103,7 +103,7 @@ def train_bench():
     )
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
-    model = build_model("hourglass8_skeleton", remat=True)
+    model = build_model("hourglass8_skeleton", remat=True, remat_policy="dots")
     ips, _ = measure_train_throughput(model, batch=8)
     print(
         json.dumps(
@@ -140,6 +140,8 @@ def train_sweep():
         ("scan_remat_dots_b8", flag,
          dict(scan_stacks=True, remat=True, remat_policy="dots"), 8),
         ("scan_remat_b16", flag, dict(scan_stacks=True, remat=True), 16),
+        ("remat_dots_b12", flag, dict(remat=True, remat_policy="dots"), 12),
+        ("remat_dots_b16", flag, dict(remat=True, remat_policy="dots"), 16),
         ("prog_b8", prog, dict(), 8),
         ("prog_b16", prog, dict(), 16),
         ("prog_b32", prog, dict(), 32),

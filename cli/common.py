@@ -32,6 +32,11 @@ def add_model_args(p: argparse.ArgumentParser):
                         "Helps deep stacks (8-stack: +27%% measured), hurts "
                         "the shallow progressive family (-13%%) — see "
                         "ROUND2_NOTES 'Training step'")
+    p.add_argument("--remat-policy", default=None,
+                   choices=["dots", "dots_no_batch"],
+                   help="jax.checkpoint policy for --remat; 'dots' (keep MXU "
+                        "outputs) measured fastest for the 8-stack "
+                        "(281.5 vs 262.5 img/s plain — ROUND3_NOTES)")
     p.add_argument("--scan-stacks", action="store_true",
                    help="compile the weight-shared stacks as ONE lax.scan "
                         "iteration instead of unrolling (StackedHourglass "
@@ -59,6 +64,8 @@ def build_model_from_args(args, **extra):
         kw["out_channels"] = chans[0] if len(chans) == 1 else tuple(chans)
     if getattr(args, "remat", False):
         kw["remat"] = True
+        if getattr(args, "remat_policy", None):
+            kw["remat_policy"] = args.remat_policy
     if getattr(args, "scan_stacks", False):
         kw["scan_stacks"] = True
     kw.update(extra)
