@@ -86,6 +86,12 @@ def add_data_args(p: argparse.ArgumentParser):
                         "LSP shuffled i%%10==0 eval)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--n-synthetic", type=int, default=32)
+    p.add_argument("--synthetic-schema", default=None,
+                   choices=["coco", "mpii", "lsp"],
+                   help="keypoint schema for --dataset synthetic; defaults "
+                        "to the --experiment's dataset schema (else coco), "
+                        "so MPII/LSP experiments train synthetically with "
+                        "the right joint count and renderer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--decode-backend", default="pil", choices=["pil", "native"],
                    help="'native' = C++ libjpeg thread-pool batch decoder "
@@ -121,6 +127,14 @@ def resolve_experiment(args):
     fill("input_size", cfg.input_size if cfg else None, 256)
     if cfg is not None and not cfg.augment and hasattr(args, "no_augment"):
         args.no_augment = True
+    # Synthetic stand-in data inherits the experiment's keypoint schema, so
+    # e.g. `--experiment classic_baseline --dataset synthetic` renders
+    # 16-joint MPII-style targets instead of failing head validation.
+    if getattr(args, "synthetic_schema", None) is None and hasattr(
+        args, "synthetic_schema"
+    ):
+        exp_ds = cfg.dataset if cfg else None
+        args.synthetic_schema = exp_ds if exp_ds in ("mpii", "lsp") else "coco"
     return cfg
 
 
@@ -223,7 +237,16 @@ def build_loader_from_args(args, shuffle=True, drop_remainder=None):
             raise SystemExit("--lsp-mat or --manifest required for dataset=lsp")
         manifest = build_lsp_manifest(args.lsp_mat, args.image_dir or "")
     else:
-        manifest = synthetic_coco_manifest(n_images=args.n_synthetic, seed=args.seed)
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            synthetic_lsp_manifest,
+            synthetic_mpii_manifest,
+        )
+
+        builder = {
+            "mpii": synthetic_mpii_manifest,
+            "lsp": synthetic_lsp_manifest,
+        }.get(getattr(args, "synthetic_schema", None), synthetic_coco_manifest)
+        manifest = builder(n_images=args.n_synthetic, seed=args.seed)
 
     split = getattr(args, "split", "all")
     if split != "all":

@@ -129,3 +129,45 @@ class TestScanStacksCLI:
         # evaluate WITHOUT --scan-stacks: the loop form must accept the ckpt
         curve = evaluate.main(common + ["--load", ckpt])
         assert curve is not None
+
+
+class TestSyntheticSchema:
+    def test_experiment_schema_inherited(self):
+        """--dataset synthetic inherits the experiment's keypoint schema
+        (classic_baseline is MPII: 16 joints, Gauss/MSE targets)."""
+        from cli import train
+
+        state = train.main(
+            [
+                "--experiment", "classic_baseline", "--dataset", "synthetic",
+                "--features", "16", "--hourglass-depth", "1",
+                "--dtype", "float32", "--input-size", "32",
+                "--batch-size", "2", "--n-synthetic", "4", "--epochs", "1",
+            ]
+        )
+        assert int(state.epoch) == 1
+
+    def test_explicit_schema_flag(self):
+        import argparse
+
+        from cli.common import add_data_args, resolve_experiment
+
+        p = argparse.ArgumentParser()
+        add_data_args(p)
+        p.add_argument("--experiment", default=None)
+        args = p.parse_args(["--dataset", "synthetic",
+                             "--synthetic-schema", "lsp"])
+        resolve_experiment(args)
+        assert args.synthetic_schema == "lsp"
+
+    def test_default_schema_coco(self):
+        import argparse
+
+        from cli.common import add_data_args, resolve_experiment
+
+        p = argparse.ArgumentParser()
+        add_data_args(p)
+        p.add_argument("--experiment", default=None)
+        args = p.parse_args(["--dataset", "synthetic"])
+        resolve_experiment(args)
+        assert args.synthetic_schema == "coco"
