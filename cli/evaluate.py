@@ -38,12 +38,24 @@ def parse_args(argv=None):
     p.add_argument("--stage", type=int, default=-1,
                    help="which stage output to score (default: last)")
     p.add_argument("--no-background-offset", action="store_true",
-                   help="baseline-model channel indexing (PCKh_hourglass)")
+                   help="baseline-model scoring (PCKh_hourglass): joint j in "
+                        "channel j, raw maps, no softmax; implied by "
+                        "--experiment entries with the classic_mse objective")
     p.add_argument("--plot", default=None, help="save detection-rate curve PNG")
     p.add_argument("--input-size", type=int, default=None)
     args = p.parse_args(argv)
     resolve_experiment(args)
     return args
+
+
+def scoring_mode(args):
+    """(gauss_head, background_offset) for the non-LSP PCKh path. Gauss/MSE
+    heads score joint j from channel j on raw maps (PCKh_hourglass,
+    /root/reference/performance_compare.py:581-615); CE heads softmax and
+    read joint j from channel j+1 past the background."""
+    gauss_head = (getattr(args, "objective", None) == "classic_mse"
+                  or args.no_background_offset)
+    return gauss_head, not gauss_head
 
 
 def main(argv=None):
@@ -87,13 +99,21 @@ def main(argv=None):
             return pckh_gauss_curve(out, batch["gauss_maps"])
 
     else:
+        # Gauss/MSE-headed models (classic_baseline) have NO background
+        # channel: joint j lives in channel j and the maps are regression
+        # targets, not logits. The reference scores them with
+        # PCKh_hourglass — no channel offset, raw maps
+        # (/root/reference/performance_compare.py:581-615). Cross-channel
+        # softmax would also distort per-channel argmax locations (the
+        # denominator varies per pixel), so it applies only to CE heads.
+        gauss_head, offset = scoring_mode(args)
 
         @jax.jit
         def eval_batch(params, batch_stats, batch):
-            hm = jax.nn.softmax(outputs_of(params, batch_stats, batch["image"]),
-                                axis=-1)
+            out = outputs_of(params, batch_stats, batch["image"])
+            hm = out if gauss_head else jax.nn.softmax(out, axis=-1)
             res = pckh_curve(hm, batch["keypoint_map"], batch["head_rect"],
-                             background_offset=not args.no_background_offset)
+                             background_offset=offset)
             return res.accuracy
 
     if render_fn.kind == "coco":

@@ -171,3 +171,33 @@ class TestSyntheticSchema:
         args = p.parse_args(["--dataset", "synthetic"])
         resolve_experiment(args)
         assert args.synthetic_schema == "coco"
+
+
+class TestEvalScoringMode:
+    """Gauss/MSE-headed models must be scored without the background-channel
+    offset and without cross-channel softmax (the reference's PCKh_hourglass,
+    performance_compare.py:581); CE models keep offset+softmax."""
+
+    def _args(self, argv):
+        from cli.evaluate import parse_args
+
+        return parse_args(argv + ["--dataset", "synthetic"])
+
+    def test_classic_mse_experiment_implies_gauss_scoring(self):
+        from cli.evaluate import scoring_mode
+
+        args = self._args(["--experiment", "classic_baseline"])
+        assert scoring_mode(args) == (True, False)
+
+    def test_ce_experiment_keeps_offset(self):
+        from cli.evaluate import scoring_mode
+
+        args = self._args(["--experiment", "hourglass8_skeleton"])
+        assert scoring_mode(args) == (False, True)
+
+    def test_explicit_flag(self):
+        from cli.evaluate import scoring_mode
+
+        args = self._args(["--preset", "classic_baseline",
+                           "--no-background-offset"])
+        assert scoring_mode(args) == (True, False)
