@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--save", default=None, help="checkpoint path (per-epoch save)")
+    p.add_argument("--save-every", type=int, default=1,
+                   help="checkpoint every N epochs (the final epoch is always "
+                        "saved; the reference saves per epoch — train.py:959; "
+                        "raise on slow filesystems/tunnels)")
     p.add_argument("--load", default=None, help="checkpoint to resume/fine-tune from")
     p.add_argument("--retrain", action="store_true",
                    help="ignore existing checkpoint (reference `retrain` flag)")
@@ -175,7 +179,8 @@ def main(argv=None):
             image_every=args.image_every if args.logdir else 0,
             image_fn=image_fn,
         )
-        if args.save:
+        if args.save and ((epoch + 1) % args.save_every == 0
+                          or epoch + 1 == args.epochs):
             save_checkpoint(args.save, state, loss_history=logger.loss_history,
                             async_save=args.async_save)
     if args.save:

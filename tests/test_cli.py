@@ -39,6 +39,35 @@ class TestTrainCLI:
         assert curve.shape == (11,)
         assert os.path.exists(tmp_path / "curve.png")
 
+    def test_save_every_skips_intermediate_epochs(self, tmp_path, monkeypatch):
+        """--save-every N writes only every Nth epoch plus the final one."""
+        from cli import train
+        from progressive_process_for_human_pose_estimation_tpu import (
+            train as train_pkg,
+        )
+
+        saved_epochs = []
+        real_save = train_pkg.save_checkpoint
+
+        def counting_save(path, state, **kw):
+            saved_epochs.append(int(state.epoch))
+            return real_save(path, state, **kw)
+
+        # cli.train imports the name from the train package at call time.
+        monkeypatch.setattr(train_pkg, "save_checkpoint", counting_save)
+        ckpt = str(tmp_path / "ckpt")
+        train.main(
+            [
+                "--preset", "progressive_coco",
+                "--features", "16", "--hourglass-depth", "1",
+                "--dtype", "float32", "--input-size", "64",
+                "--batch-size", "4", "--n-synthetic", "4",
+                "--epochs", "3", "--save", ckpt, "--save-every", "2",
+            ]
+        )
+        # epoch 2 (divisible) and epoch 3 (final) — never epoch 1.
+        assert saved_epochs == [2, 3]
+
     def test_params_cli(self, capsys):
         from cli import params
 
