@@ -209,7 +209,7 @@ def int8_bench():
     )
 
 
-def main(fused_eval=False):
+def main(fused_eval=False, fold_tail=False):
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
     # Batch sweep on this chip: 8 -> 1270, 16 -> 1260, 32 -> 1098, 64 -> 986,
@@ -217,7 +217,7 @@ def main(fused_eval=False):
     # activations closer to on-chip memory, so the headline runs at batch 8.
     batch = 8
     model = build_model("hourglass8_skeleton", use_running_average=True,
-                        fused_eval=fused_eval)
+                        fused_eval=fused_eval, fold_tail=fold_tail)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), x)
 
@@ -249,5 +249,10 @@ if __name__ == "__main__":
         # fused_eval=True: Pallas kernels at the 8²-16² hourglass levels
         # inside the standard flax model (XLA everywhere else).
         main(fused_eval=True)
+    elif "--fold" in sys.argv:
+        # fold_tail: each non-final stack's head/merge/return convs collapsed
+        # into one f→f affine — exact linear algebra on the live weights
+        # (models/recursive.py), same final output as the literal tail.
+        main(fold_tail=True)
     else:
         main()

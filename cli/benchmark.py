@@ -27,6 +27,11 @@ def parse_args(argv=None):
                    help="run inference through the fused-Pallas int8 path "
                         "(static calibration on the bench batch; different "
                         "numerics from bf16 — see BASELINE.md 'int8 ceiling')")
+    p.add_argument("--fold", action="store_true",
+                   help="inference-only tail fold for StackedHourglass presets:"
+                        " collapse each non-final stack's head/merge/return "
+                        "convs into one f→f affine (exact math on the final "
+                        "output; see models/recursive.py fold_tail)")
     p.add_argument("--json", action="store_true", help="print one JSON line")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace (xplane, for TensorBoard "
@@ -109,7 +114,8 @@ def main(argv=None):
         scales = calibrate(model, variables, x)
         apply_fn = build_int8_pallas_apply(model, variables, scales)
     else:
-        model = build_model_from_args(args, use_running_average=True)
+        extra = {"fold_tail": True} if args.fold else {}
+        model = build_model_from_args(args, use_running_average=True, **extra)
         variables = model.init(jax.random.PRNGKey(0), x)
         apply_fn = lambda xx: model.apply(variables, xx)
 

@@ -124,8 +124,44 @@ class StackedHourglass(nn.Module):
     # Eval-time Pallas fusion of the 8²-16² hourglass levels (see
     # ResidualBlockLite.fused_eval); inference-only, shape-gated.
     fused_eval: bool = False
+    # Inference-only tail fold: the per-stack chain
+    #   head 1x1 (f→out_c) → merge matmul → conv4 (out_c'→f)  plus  conv3 (f→f)
+    # is linear in ``ll``, so for every NON-final stack it collapses into ONE
+    # f→f matmul ``ll @ (W3 + W2·M·W4) + (b3 + b4 + b2·M·W4)`` — removing the
+    # lane-padded 38-channel intermediates entirely (measured 2.1-4.6x above
+    # roofline, ROUND3_NOTES budget table). XLA cannot reassociate matmul
+    # chains over runtime weights, so this is done at the module level. The
+    # fold is computed in fp32 from the live params at apply time (a few
+    # MFLOP, once per call). Only the FINAL stack's output is produced (the
+    # reference's own eval consumes result[-1] only,
+    # /root/reference/train.py:1132-1134); the return value is a one-element
+    # list. Param tree is untouched: init traces the unfolded graph, so
+    # checkpoints from normal training load directly.
+    fold_tail: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+
+    def _fold_tail_wb(self, names: Tuple[str, str, str], mr):
+        """Collapse conv2→(merge)→conv4 plus conv3 into one f→f affine.
+
+        All three are biased 1x1 convs and the merge is a constant matrix, so
+        ``conv3(ll) + conv4(conv2(ll) @ Mr)`` ≡ ``ll @ Wf + bf`` with
+        ``Wf = W3 + W2·Mr·W4`` and ``bf = b3 + b4 + (b2·Mr)·W4``. Composed in
+        fp32 from the live params (a few MFLOP, once per call), cast to the
+        compute dtype at the end — one rounding instead of the chain's three.
+        """
+        def wb(name):
+            p = self.get_variable("params", name)["conv"]
+            k = jnp.asarray(p["kernel"], jnp.float32)
+            return k.reshape(-1, k.shape[-1]), jnp.asarray(p["bias"], jnp.float32)
+
+        (w2, b2), (w3, b3), (w4, b4) = (wb(n) for n in names)
+        if mr is not None:
+            m = jnp.asarray(mr, jnp.float32)
+            w2, b2 = w2 @ m, b2 @ m
+        wf = w3 + w2 @ w4
+        bf = b3 + b4 + b2 @ w4
+        return wf.astype(self.dtype), bf.astype(self.dtype)
 
     @nn.compact
     def __call__(self, x):
@@ -155,6 +191,18 @@ class StackedHourglass(nn.Module):
         use_scan = self.scan_stacks and self.n_stack > 1
         if self.scan_stacks and not self.share_weights:
             raise ValueError("scan_stacks requires share_weights=True")
+        if self.fold_tail and self.scan_stacks:
+            raise ValueError("fold_tail is incompatible with scan_stacks")
+        if self.fold_tail and not self.use_running_average:
+            raise ValueError(
+                "fold_tail is inference-only: it drops the intermediate-stack "
+                "outputs that training supervision needs"
+            )
+        # Init traces the unfolded graph so the param tree (and therefore
+        # checkpoints) is identical with the fold on or off.
+        use_fold = (
+            self.fold_tail and self.n_stack > 1 and not self.is_initializing()
+        )
         if self.remat and not use_scan:
             HG = nn.remat(
                 RecursiveHourglass,
@@ -281,12 +329,34 @@ class StackedHourglass(nn.Module):
             _, stacked = scan_fn(self, inter, None)
             return [stacked[i] for i in range(self.n_stack)]
 
+        # Merge matrix seen by the RETURN path (conv4's input): identity for
+        # 'plain'/'skeleton_from_keypoints' (return_feed = head_out), the full
+        # merge for the *_merge variants (return_feed = merged stack_out).
+        mr_fold = (
+            m
+            if self.variant in ("skeleton_merge", "skeleton_from_keypoints_merge")
+            else None
+        )
+        fold_wb = None
         outs = []
         for i, (hg_m, res_m, lin_m, head_m, ret_ll_m, ret_out_m) in enumerate(stack_mods):
             ll = hg_m(inter)
             for _ in range(self.n_modules):
                 ll = res_m(ll)
             ll = lin_m(ll)
+            if use_fold and i < self.n_stack - 1:
+                if fold_wb is None or not self.share_weights:
+                    names = (
+                        ("conv2", "conv3", "conv4")
+                        if self.share_weights
+                        else (f"conv2_{i}", f"conv3_{i}", f"conv4_{i}")
+                    )
+                    fold_wb = self._fold_tail_wb(names, mr_fold)
+                wf, bf = fold_wb
+                inter = (
+                    jax.lax.dot_general(ll, wf, (((3,), (0,)), ((), ()))) + bf
+                )
+                continue
             head_out = head_m(ll)
 
             if self.variant == "plain":
