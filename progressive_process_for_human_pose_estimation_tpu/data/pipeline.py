@@ -385,6 +385,13 @@ class HostLoader:
             if not native_available():
                 decode_backend = "pil"
         self.decode_backend = decode_backend
+        # Synthetic images are deterministic per index (seed=idx, fixed
+        # keypoints), so their decoded+staged form is cached across epochs —
+        # rendering them is the dominant epoch cost of the convergence demos
+        # on a slow host. Stored as uint8 (the PIL staging output) to bound
+        # memory; capped FIFO so huge synthetic manifests don't accumulate.
+        self._synthetic_cache: Dict = {}
+        self._synthetic_cache_cap = 128
 
     def _load_image(self, idx: int):
         """Decode + staging-resize one image; returns (array, (h, w)) with
@@ -394,6 +401,11 @@ class HostLoader:
         name = str(self.manifest["image_names"][idx])
         s = self.staging_size
         if name.startswith("synthetic_"):
+            cached = self._synthetic_cache.get((idx, s))
+            if cached is not None:
+                staged, hw = cached
+                return staged.astype(np.float32) / 255.0, hw
+
             from .synthetic import synthetic_image
 
             size = int(self.manifest["image_dims"][idx][0])
@@ -402,6 +414,12 @@ class HostLoader:
             from PIL import Image
 
             pil = Image.fromarray((img * 255).astype(np.uint8))
+            w, h = pil.size
+            staged = np.asarray(pil.resize((s, s)))
+            if len(self._synthetic_cache) >= self._synthetic_cache_cap:
+                self._synthetic_cache.pop(next(iter(self._synthetic_cache)))
+            self._synthetic_cache[(idx, s)] = (staged, (h, w))
+            return staged.astype(np.float32) / 255.0, (h, w)
         else:
             from PIL import Image
 

@@ -276,3 +276,51 @@ class TestPrefetchComposition:
         it = iter(self._wrap(host, num_threads=2, prefetch=1))
         next(it)
         it.close()  # generator exit must unblock + join the producer
+
+
+class TestSyntheticRenderCache:
+    """The convergence demos' host cost: windowed blob rendering must match
+    the naive full-image formula, and HostLoader must cache the deterministic
+    (seed=idx) synthetic images across epochs."""
+
+    def test_windowed_blob_matches_naive(self):
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            synthetic_image,
+        )
+
+        size = 64
+        m = synthetic_coco_manifest(2, img_size=size)
+        for i in range(2):
+            kps = m["keypoints"][i]
+            rng = np.random.default_rng(i)
+            img = rng.random((size, size, 3)).astype(np.float32) * 0.2
+            ys, xs = np.mgrid[0:size, 0:size]
+            for person in kps.reshape(-1, kps.shape[-2], 3):
+                for x, y, v in person:
+                    if v > 0:
+                        img += 0.6 * np.exp(
+                            -((xs - x) ** 2 + (ys - y) ** 2) / 32.0
+                        )[:, :, None]
+            naive = np.clip(img, 0, 1)
+            got = synthetic_image(kps, img_size=size, seed=i)
+            np.testing.assert_allclose(got, naive, atol=2e-6)
+
+    def test_host_loader_caches_synthetic(self, monkeypatch):
+        import progressive_process_for_human_pose_estimation_tpu.data.synthetic as syn
+
+        m = synthetic_coco_manifest(4, img_size=64)
+        loader = HostLoader(m, batch_size=2, staging_size=80, shuffle=False)
+        calls = {"n": 0}
+        real = syn.synthetic_image
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(syn, "synthetic_image", counting)
+        first = [b["images"].copy() for b in loader]
+        assert calls["n"] == 4  # one render per image on the first epoch
+        second = [b["images"].copy() for b in loader]
+        assert calls["n"] == 4  # second epoch fully served from cache
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(a, b)
