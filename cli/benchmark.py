@@ -28,10 +28,11 @@ def parse_args(argv=None):
                         "(static calibration on the bench batch; different "
                         "numerics from bf16 — see BASELINE.md 'int8 ceiling')")
     p.add_argument("--fold", action="store_true",
-                   help="inference-only tail fold for StackedHourglass presets:"
-                        " collapse each non-final stack's head/merge/return "
-                        "convs into one f→f affine (exact math on the final "
-                        "output; see models/recursive.py fold_tail)")
+                   help="inference-only tail fold (StackedHourglass + "
+                        "ProgressiveHourglass presets): collapse each "
+                        "non-final stack's head/merge/return convs into one "
+                        "matmul (exact math on the final output; see "
+                        "models/recursive.py fold_tail)")
     p.add_argument("--json", action="store_true", help="print one JSON line")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace (xplane, for TensorBoard "

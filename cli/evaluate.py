@@ -41,6 +41,12 @@ def parse_args(argv=None):
                    help="baseline-model scoring (PCKh_hourglass): joint j in "
                         "channel j, raw maps, no softmax; implied by "
                         "--experiment entries with the classic_mse objective")
+    p.add_argument("--fold", action="store_true",
+                   help="inference-only tail fold (StackedHourglass + "
+                        "ProgressiveHourglass presets): skip the non-final "
+                        "stacks' head/merge/return convs via one folded "
+                        "matmul — exact same final-stage scores, faster; "
+                        "requires --stage -1")
     p.add_argument("--plot", default=None, help="save detection-rate curve PNG")
     p.add_argument("--input-size", type=int, default=None)
     args = p.parse_args(argv)
@@ -77,7 +83,13 @@ def main(argv=None):
     render_fn = make_render_fn(manifest, inputsize=size, augment=False)
     loader.staging_size = render_fn.staging_size
 
-    model = build_model_from_args(args, use_running_average=True)
+    extra = {}
+    if args.fold:
+        if args.stage != -1:
+            raise SystemExit("--fold produces only the final stage's output; "
+                             "it cannot be combined with --stage != -1")
+        extra["fold_tail"] = True
+    model = build_model_from_args(args, use_running_average=True, **extra)
     check_heads_match_renderer(model, render_fn, args.preset)
     sample = jnp.zeros((args.batch_size, size, size, 3))
     state = create_train_state(model, jax.random.PRNGKey(0), sample)

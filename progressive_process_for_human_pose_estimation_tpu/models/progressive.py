@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -74,6 +75,15 @@ class ProgressiveHourglass(nn.Module):
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
     remat: bool = False  # rematerialize each stage hourglass in backward
+    # Inference-only tail fold (the StackedHourglass.fold_tail analogue): for
+    # every NON-final stage, ``stage{i}_return(stage{i}_out(ll))`` is two
+    # bias-free 1x1 convs, so it collapses into ONE f→f/2 matmul with weights
+    # ``W_out·W_ret`` composed in fp32 from the live params — the lane-padded
+    # 2/16/17-channel logits intermediates disappear. Only the final stage's
+    # logits are produced (the reference's eval consumes result[-1],
+    # /root/reference/train.py:1132-1134); param tree unchanged (init traces
+    # the unfolded graph), so training checkpoints load directly.
+    fold_tail: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -90,20 +100,36 @@ class ProgressiveHourglass(nn.Module):
         f = self.features
         n_stages = len(self.out_channels)
         HG = nn.remat(ASPPHourglass) if self.remat else ASPPHourglass
+        if self.fold_tail and not self.use_running_average:
+            raise ValueError(
+                "fold_tail is inference-only: it drops the intermediate-stage "
+                "outputs that training supervision needs"
+            )
+        use_fold = self.fold_tail and not self.is_initializing()
 
         inter = Stem(f, name="preprocess1", **kw)(x)
         outs = []
         for i, n_out in enumerate(self.out_channels, start=1):
             ll = HG(f, depth=self.hourglass_depth, name=f"stage{i}", **kw)(inter)
-            logits = Conv(n_out, 1, 1, 0, use_bias=False, name=f"stage{i}_out", **ckw)(ll)
-            outs.append(logits)
+            if use_fold and i < n_stages:
+                wo = self.get_variable("params", f"stage{i}_out")["conv"]["kernel"]
+                wr = self.get_variable("params", f"stage{i}_return")["conv"]["kernel"]
+                wf = (
+                    jnp.asarray(wo, jnp.float32).reshape(f, n_out)
+                    @ jnp.asarray(wr, jnp.float32).reshape(n_out, f // 2)
+                ).astype(self.dtype)
+                ret = jax.lax.dot_general(ll, wf, (((3,), (0,)), ((), ())))
+            else:
+                logits = Conv(n_out, 1, 1, 0, use_bias=False, name=f"stage{i}_out", **ckw)(ll)
+                outs.append(logits)
+                if i < n_stages:
+                    # Compressed feature return (train.py:580-583): the next
+                    # stage sees [projected logits (f/2), projected hourglass
+                    # features (f/4), projected previous inter (f/4)].
+                    ret = Conv(f // 2, 1, 1, 0, use_bias=False, name=f"stage{i}_return", **ckw)(
+                        logits
+                    )
             if i < n_stages:
-                # Compressed feature return (train.py:580-583): the next
-                # stage sees [projected logits (f/2), projected hourglass
-                # features (f/4), projected previous inter (f/4)].
-                ret = Conv(f // 2, 1, 1, 0, use_bias=False, name=f"stage{i}_return", **ckw)(
-                    logits
-                )
                 ll_ = Conv(f // 4, 1, 1, 0, use_bias=False, name=f"stage{i}_return_2", **ckw)(ll)
                 inter = Conv(
                     f // 4, 1, 1, 0, use_bias=False, name=f"stage{i}_down_feature", **ckw

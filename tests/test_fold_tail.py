@@ -67,6 +67,60 @@ def test_fold_param_tree_identical():
     assert tb == tf
 
 
+def test_progressive_fold_matches_unfolded():
+    from progressive_process_for_human_pose_estimation_tpu.models import (
+        ProgressiveHourglass,
+    )
+
+    kw = dict(features=32, hourglass_depth=2, out_channels=(2, 16, 17),
+              use_running_average=True)
+    base = ProgressiveHourglass(**kw)
+    fold = ProgressiveHourglass(fold_tail=True, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    variables = base.init(jax.random.PRNGKey(0), x)
+
+    ref = base.apply(variables, x)
+    folded = fold.apply(variables, x)
+    assert len(ref) == 3 and len(folded) == 1
+    np.testing.assert_allclose(
+        np.asarray(folded[-1], np.float32),
+        np.asarray(ref[-1], np.float32),
+        rtol=2e-4,
+        atol=2e-4,
+    )
+    tb = jax.tree_util.tree_structure(variables)
+    tf = jax.tree_util.tree_structure(fold.init(jax.random.PRNGKey(0), x))
+    assert tb == tf
+
+
+def test_progressive_fold_training_guard():
+    from progressive_process_for_human_pose_estimation_tpu.models import (
+        ProgressiveHourglass,
+    )
+
+    x = jnp.zeros((1, 64, 64, 3))
+    with pytest.raises(ValueError, match="inference-only"):
+        ProgressiveHourglass(
+            features=32, hourglass_depth=2, fold_tail=True
+        ).init(jax.random.PRNGKey(0), x)
+
+
+def test_cli_evaluate_fold_matches():
+    """cli.evaluate --fold must print the exact same curve as the unfolded
+    eval (same untrained weights, same synthetic split)."""
+    from cli import evaluate
+
+    common = [
+        "--preset", "hourglass8_skeleton",
+        "--dataset", "synthetic", "--n-synthetic", "4", "--batch-size", "2",
+        "--input-size", "64", "--features", "32", "--hourglass-depth", "2",
+        "--dtype", "float32",
+    ]
+    ref = evaluate.main(common)
+    fold = evaluate.main(common + ["--fold"])
+    np.testing.assert_allclose(fold, ref, atol=1e-6)
+
+
 def test_fold_guards():
     x = jnp.zeros((1, 64, 64, 3))
     with pytest.raises(ValueError, match="scan_stacks"):
