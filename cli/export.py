@@ -32,6 +32,12 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--input-size", type=int, default=256)
     p.add_argument("--out", required=True, help="output artifact path")
+    p.add_argument("--fold", action="store_true",
+                   help="export with the inference-only tail fold "
+                        "(StackedHourglass + ProgressiveHourglass presets): "
+                        "non-final stacks' head/merge/return convs collapsed "
+                        "into one matmul; the artifact emits only the final "
+                        "stage's output (exact same values)")
     p.add_argument("--check", action="store_true",
                    help="deserialize the artifact and verify it reproduces "
                         "the live model's outputs")
@@ -44,7 +50,8 @@ def main(argv=None):
     args = parse_args(argv)
     from jax import export as jax_export
 
-    model = build_model_from_args(args, use_running_average=True)
+    extra = {"fold_tail": True} if args.fold else {}
+    model = build_model_from_args(args, use_running_average=True, **extra)
     shape = (args.batch, args.input_size, args.input_size, 3)
     x0 = jnp.zeros(shape, jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0)

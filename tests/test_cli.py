@@ -122,6 +122,19 @@ class TestExport:
         import os
         assert os.path.getsize(out) > 1000
 
+    def test_export_fold(self, tmp_path):
+        """--fold artifact passes its own --check (folded live vs served)."""
+        from cli import export as export_cli
+
+        out = str(tmp_path / "mf.jaxexport")
+        export_cli.main([
+            "--preset", "progressive_mpii", "--features", "16",
+            "--hourglass-depth", "1", "--dtype", "float32", "--fold",
+            "--batch", "1", "--input-size", "32", "--out", out, "--check",
+        ])
+        import os
+        assert os.path.getsize(out) > 1000
+
 
 class TestHeadValidation:
     def test_preset_dataset_mismatch_rejected(self):
