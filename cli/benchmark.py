@@ -40,6 +40,11 @@ def parse_args(argv=None):
                         "NOTE: requires a locally attached TPU; remote-tunnel "
                         "attachments time dispatch, not device compute")
     args = p.parse_args(argv)
+    if args.fold and (args.train or args.int8):
+        p.error("--fold measures the folded bf16 inference graph; it cannot "
+                "be combined with --train or --int8")
+    if args.train and args.int8:
+        p.error("--train and --int8 are mutually exclusive modes")
     resolve_experiment(args)
     return args
 

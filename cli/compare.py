@@ -75,7 +75,12 @@ def main(argv=None):
             outs = model.apply({"params": params, "batch_stats": batch_stats}, images)
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
-            hm = jax.nn.softmax(outs[-1].astype(jnp.float32), axis=-1)
+            out = outs[-1].astype(jnp.float32)
+            # CE heads (offset=True) softmax and skip the background channel;
+            # Gauss/MSE heads (offset=False) score raw maps — cross-channel
+            # softmax would move per-channel argmaxes (the denominator varies
+            # per pixel), same semantics as cli.evaluate.scoring_mode.
+            hm = jax.nn.softmax(out, axis=-1) if offset else out
             return pckh_curve(hm, target, rect, background_offset=offset).accuracy
 
         curves = []

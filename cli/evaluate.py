@@ -54,12 +54,22 @@ def parse_args(argv=None):
     return args
 
 
+# Objectives whose FINAL stage regresses Gaussian maps (no background
+# channel): classic_mse (hourglass_compare.py:936-941), progressive_2stage
+# (try_different_stack_without_skeleton.py:360-393 — stage 2 = 17-ch MSE),
+# progressive_ce_ce_mse (try_more_layer.py:403-406 — stage 3 = MSE Gaussians).
+GAUSS_FINAL_OBJECTIVES = {"classic_mse", "progressive_2stage",
+                          "progressive_ce_ce_mse"}
+
+
 def scoring_mode(args):
     """(gauss_head, background_offset) for the non-LSP PCKh path. Gauss/MSE
     heads score joint j from channel j on raw maps (PCKh_hourglass,
     /root/reference/performance_compare.py:581-615); CE heads softmax and
-    read joint j from channel j+1 past the background."""
-    gauss_head = (getattr(args, "objective", None) == "classic_mse"
+    read joint j from channel j+1 past the background. The mode follows the
+    objective's FINAL stage; when scoring an earlier CE stage of a mixed
+    objective via --stage, pass flags explicitly."""
+    gauss_head = (getattr(args, "objective", None) in GAUSS_FINAL_OBJECTIVES
                   or args.no_background_offset)
     return gauss_head, not gauss_head
 

@@ -83,17 +83,15 @@ def main(argv=None):
         # mask logits at /4 -> nearest x4 (F.interpolate default) -> argmax
         # over {bg, person} -> hard-multiply into the input image. Upsample
         # and argmax commute for nearest-neighbour, so argmax first.
-        from progressive_process_for_human_pose_estimation_tpu.models import (
-            build_model,
-        )
+        import copy
 
-        mkw = dict(dtype=jnp.bfloat16 if args.dtype == "bfloat16"
-                   else jnp.float32, use_running_average=True)
-        if args.features:
-            mkw["features"] = args.features
-        if getattr(args, "hourglass_depth", None):
-            mkw["hourglass_depth"] = args.hourglass_depth
-        masknet = build_model("masknet", **mkw)
+        # Same construction path as the pose model (precision policy,
+        # feature/depth flags stay in lockstep), just the masknet preset
+        # with its own 2-channel head.
+        margs = copy.copy(args)
+        margs.preset = "masknet"
+        margs.out_channels = None
+        masknet = build_model_from_args(margs, use_running_average=True)
         mstate = create_train_state(masknet, jax.random.PRNGKey(0), x)
         if args.mask_load:
             mstate = restore_checkpoint(args.mask_load, mstate)

@@ -71,6 +71,8 @@ def parse_args(argv=None):
                    help="overlap checkpoint writes with the next epoch "
                         "(orbax async save)")
     args = p.parse_args(argv)
+    if args.save_every < 1:
+        p.error("--save-every must be >= 1 (the final epoch is always saved)")
     resolve_experiment(args)
     return args
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -389,9 +390,13 @@ class HostLoader:
         # keypoints), so their decoded+staged form is cached across epochs —
         # rendering them is the dominant epoch cost of the convergence demos
         # on a slow host. Stored as uint8 (the PIL staging output) to bound
-        # memory; capped FIFO so huge synthetic manifests don't accumulate.
+        # memory. All-or-nothing: caching engages only when the WHOLE
+        # manifest fits the cap (any eviction policy would thrash at 0% hit
+        # rate on a per-epoch full sweep), and inserts are lock-guarded
+        # because PrefetchLoader fans _load_image over a thread pool.
         self._synthetic_cache: Dict = {}
         self._synthetic_cache_cap = 128
+        self._synthetic_cache_lock = threading.Lock()
 
     def _load_image(self, idx: int):
         """Decode + staging-resize one image; returns (array, (h, w)) with
@@ -416,9 +421,9 @@ class HostLoader:
             pil = Image.fromarray((img * 255).astype(np.uint8))
             w, h = pil.size
             staged = np.asarray(pil.resize((s, s)))
-            if len(self._synthetic_cache) >= self._synthetic_cache_cap:
-                self._synthetic_cache.pop(next(iter(self._synthetic_cache)))
-            self._synthetic_cache[(idx, s)] = (staged, (h, w))
+            if len(self.manifest["image_names"]) <= self._synthetic_cache_cap:
+                with self._synthetic_cache_lock:
+                    self._synthetic_cache[(idx, s)] = (staged, (h, w))
             return staged.astype(np.float32) / 255.0, (h, w)
         else:
             from PIL import Image

@@ -243,3 +243,13 @@ class TestEvalScoringMode:
         args = self._args(["--preset", "classic_baseline",
                            "--no-background-offset"])
         assert scoring_mode(args) == (True, False)
+
+    def test_mse_final_stage_experiments_imply_gauss_scoring(self):
+        """progressive_2stage / with_aspp / more_layer end in an MSE Gauss
+        head (no background channel) — softmax + channel offset would score
+        every joint against its neighbour's distorted map."""
+        from cli.evaluate import scoring_mode
+
+        for exp in ("progressive_2stage", "with_aspp", "more_layer"):
+            args = self._args(["--experiment", exp])
+            assert scoring_mode(args) == (True, False), exp
