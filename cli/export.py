@@ -38,6 +38,10 @@ def parse_args(argv=None):
                         "non-final stacks' head/merge/return convs collapsed "
                         "into one matmul; the artifact emits only the final "
                         "stage's output (exact same values)")
+    p.add_argument("--dynamic-batch", action="store_true",
+                   help="export with a symbolic batch dimension (jax.export "
+                        "shape polymorphism): one artifact serves any batch "
+                        "size; --batch then only sets the --check batch")
     p.add_argument("--check", action="store_true",
                    help="deserialize the artifact and verify it reproduces "
                         "the live model's outputs")
@@ -69,9 +73,16 @@ def main(argv=None):
         outs = model.apply(variables, x)
         return outs if isinstance(outs, (list, tuple)) else [outs]
 
-    exp = jax_export.export(jax.jit(forward))(
-        jax.ShapeDtypeStruct(shape, jnp.float32)
-    )
+    if args.dynamic_batch:
+        # Shape-polymorphic export: the batch dim is the symbol 'b', spatial
+        # dims stay concrete (the models' space-to-depth/stride reshapes need
+        # them static). The serving process calls the same artifact with any
+        # batch size.
+        (b,) = jax_export.symbolic_shape("b")
+        export_spec = jax.ShapeDtypeStruct((b,) + shape[1:], jnp.float32)
+    else:
+        export_spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+    exp = jax_export.export(jax.jit(forward))(export_spec)
     blob = exp.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)

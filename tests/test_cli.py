@@ -122,6 +122,26 @@ class TestExport:
         import os
         assert os.path.getsize(out) > 1000
 
+    def test_export_dynamic_batch(self, tmp_path):
+        """--dynamic-batch: one artifact serves any batch size."""
+        import numpy as np
+        from jax import export as jax_export
+
+        from cli import export as export_cli
+
+        out = str(tmp_path / "md.jaxexport")
+        export_cli.main([
+            "--preset", "progressive_mpii", "--features", "16",
+            "--hourglass-depth", "1", "--dtype", "float32",
+            "--dynamic-batch", "--batch", "2", "--input-size", "32",
+            "--out", out, "--check",
+        ])
+        with open(out, "rb") as f:
+            served = jax_export.deserialize(f.read())
+        for bs in (1, 3):
+            y = served.call(np.zeros((bs, 32, 32, 3), np.float32))
+            assert all(np.asarray(o).shape[0] == bs for o in y)
+
     def test_export_fold(self, tmp_path):
         """--fold artifact passes its own --check (folded live vs served)."""
         from cli import export as export_cli
