@@ -305,6 +305,25 @@ class TestSyntheticRenderCache:
             got = synthetic_image(kps, img_size=size, seed=i)
             np.testing.assert_allclose(got, naive, atol=2e-6)
 
+    def test_prefetch_threads_with_synthetic_cache(self):
+        """Concurrent _load_image calls (PrefetchLoader pool) over a
+        cacheable synthetic manifest: epochs must be byte-identical and
+        exception-free (lock-guarded inserts)."""
+        from progressive_process_for_human_pose_estimation_tpu.data import (
+            PrefetchLoader,
+        )
+
+        m = synthetic_coco_manifest(8, img_size=64)
+        loader = PrefetchLoader(
+            HostLoader(m, batch_size=4, staging_size=80, shuffle=False),
+            num_threads=4,
+        )
+        first = [b["images"].copy() for b in loader]
+        second = [b["images"].copy() for b in loader]
+        assert len(first) == 2
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(a, b)
+
     def test_host_loader_caches_synthetic(self, monkeypatch):
         import progressive_process_for_human_pose_estimation_tpu.data.synthetic as syn
 
