@@ -105,10 +105,14 @@ def main(argv=None):
     outs = model.apply({"params": state.params, "batch_stats": state.batch_stats}, x)
     if not isinstance(outs, (list, tuple)):
         outs = [outs]
+    raw_final = outs[-1].astype(jnp.float32)
     outs = [jax.nn.softmax(o.astype(jnp.float32), axis=-1) for o in outs]
 
-    coords, valid = argmax_decode(outs[-1], threshold=args.threshold,
-                                  scale=size // outs[-1].shape[1])
+    # Threshold on the RAW final maps (the reference thresholds result[...]
+    # pre-softmax, train.py:1060-1068, default threshold=1 — softmaxed values
+    # never exceed 1, so thresholding them would reject every peak).
+    coords, valid = argmax_decode(raw_final, threshold=args.threshold,
+                                  scale=size // raw_final.shape[1])
     coords, valid = np.asarray(coords[0]), np.asarray(valid[0])
 
     n_panels = 1 + (1 if gate is not None else 0) + len(outs) + 1

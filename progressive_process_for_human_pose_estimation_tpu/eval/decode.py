@@ -5,9 +5,9 @@ Covers the reference's inference decode family:
 - :func:`argmax_decode` — per-channel argmax (+ confidence threshold),
   coordinates scaled x4 back to input resolution
   (/root/reference/train.py:1060-1068).
-- :func:`normalized_peak_decode` — peak accepted when value / channel-max of
-  a normalized map exceeds a threshold
-  (/root/reference/try_different_stack.py:487-498).
+- :func:`normalized_peak_decode` — per-channel min-max normalization, every
+  pixel above the threshold is a detection
+  (/root/reference/try_different_stack.py:485-498).
 - :func:`local_max_nms` — 3x3 local-maximum suppression, the
   ``ndimage.maximum_filter`` equivalent
   (/root/reference/try_different_stack_without_skeleton.py:486-492;
@@ -45,20 +45,28 @@ def argmax_decode(
 
 
 def normalized_peak_decode(
-    heatmaps: jax.Array, threshold: float = 0.5, scale: int = 4
+    heatmaps: jax.Array, threshold: float = 0.7
 ) -> Tuple[jax.Array, jax.Array]:
-    """Normalized-peak decode (/root/reference/try_different_stack.py:487-498):
-    each channel is divided by its max before thresholding, so the threshold
-    is relative."""
+    """Min-max-normalized threshold decode
+    (/root/reference/try_different_stack.py:485-498): each channel is
+    min-max normalized to [0, 1] and EVERY pixel above the threshold is a
+    detection — the reference draws them all (coordinates x4 on the host:
+    ``np.where(mask) * 4``), so this returns the per-pixel mask, not a
+    single peak.
+
+    Args:
+      heatmaps: (N, H, W, C).
+    Returns:
+      mask: (N, H, W, C) bool — normalized value > threshold.
+      norm: (N, H, W, C) the min-max normalized maps.
+    """
     n, h, w, c = heatmaps.shape
     flat = heatmaps.reshape(n, h * w, c)
+    mn = jnp.min(flat, axis=1, keepdims=True)
     mx = jnp.max(flat, axis=1, keepdims=True)
-    norm = flat / jnp.where(mx > 0, mx, 1.0)
-    idx = jnp.argmax(norm, axis=1)
-    peak = jnp.max(norm, axis=1)
-    ys, xs = idx // w, idx % w
-    coords = jnp.stack([xs * scale, ys * scale], axis=-1).astype(jnp.int32)
-    return coords, peak > threshold
+    norm = (flat - mn) / jnp.maximum(mx - mn, 1e-12)
+    norm = norm.reshape(n, h, w, c)
+    return norm > threshold, norm
 
 
 def local_max_nms(heatmaps: jax.Array, window: int = 3) -> jax.Array:
@@ -70,13 +78,15 @@ def local_max_nms(heatmaps: jax.Array, window: int = 3) -> jax.Array:
     Returns:
       (N, H, W, C) bool mask of local maxima.
     """
-    pad = window // 2
+    # Asymmetric padding keeps the output H x W for even windows too
+    # ((w-1)//2 before, w//2 after = w-1 total = window-1 overlap).
+    lo, hi = (window - 1) // 2, window // 2
     neighborhood_max = jax.lax.reduce_window(
         heatmaps,
         -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, 1, 1, 1),
-        padding=[(0, 0), (pad, pad), (pad, pad), (0, 0)],
+        padding=[(0, 0), (lo, hi), (lo, hi), (0, 0)],
     )
     return heatmaps >= neighborhood_max

@@ -43,19 +43,23 @@ class PCKhResult(NamedTuple):
     standard: jax.Array  # (N,) normalization distance
 
 
-def _first_true_yx(mask: jax.Array):
-    """Row-major first True position of (H, W) mask — torch.nonzero(...)[0]."""
-    h, w = mask.shape
-    flat_idx = jnp.argmax(mask.reshape(-1))  # first True (argmax of bool)
+def _flat_argmax_yx(m: jax.Array):
+    """Row-major first argmax position of an (H, W) map. For a bool mask
+    this is the first True (torch.nonzero(mask)[0]); for a float map the
+    first maximum (torch.nonzero(x >= x.max())[0])."""
+    w = m.shape[1]
+    flat_idx = jnp.argmax(m.reshape(-1))
     return flat_idx // w, flat_idx % w
 
 
-def _argmax_yx(heat: jax.Array):
-    """Row-major first argmax position of an (H, W) map — equivalent to
-    torch.nonzero(x >= x.max())[0]."""
-    h, w = heat.shape
-    flat_idx = jnp.argmax(heat.reshape(-1))
-    return flat_idx // w, flat_idx % w
+def _argmax_rowcol(m: jax.Array):
+    """The reference's row/column two-step argmax
+    (only_one_hourgless.py:291-299): ys = argmax over rows of per-row
+    maxima; xs = argmax within row ys. Differs from _flat_argmax_yx only in
+    tie-breaking."""
+    ys = jnp.argmax(jnp.max(m, axis=1))
+    xs = jnp.argmax(m[ys])
+    return ys, xs
 
 
 def pckh_curve(
@@ -89,8 +93,8 @@ def pckh_curve(
         def per_joint(j):
             mask = tgt == (j + 1)
             present = jnp.any(mask)
-            ly, lx = _first_true_yx(mask)
-            py, px = _argmax_yx(hm[:, :, j + offset])
+            ly, lx = _flat_argmax_yx(mask)
+            py, px = _flat_argmax_yx(hm[:, :, j + offset])
             dist = jnp.sqrt(
                 jnp.square(ly - py).astype(jnp.float32)
                 + jnp.square(lx - px).astype(jnp.float32)
@@ -137,13 +141,8 @@ def pckh_gauss_curve(
     """
 
     def per_image(hm, tgt):
-        def argmax_rowcol(m):
-            ys = jnp.argmax(jnp.max(m, axis=1))
-            xs = jnp.argmax(m[ys])
-            return ys, xs
-
-        head_y, head_x = argmax_rowcol(tgt[:, :, head_index])
-        neck_y, neck_x = argmax_rowcol(tgt[:, :, neck_index])
+        head_y, head_x = _argmax_rowcol(tgt[:, :, head_index])
+        neck_y, neck_x = _argmax_rowcol(tgt[:, :, neck_index])
         standard = jnp.sqrt(
             jnp.square(head_y - neck_y).astype(jnp.float32)
             + jnp.square(head_x - neck_x).astype(jnp.float32)
@@ -152,8 +151,8 @@ def pckh_gauss_curve(
         def per_joint(j):
             label_map = tgt[:, :, j]
             present = jnp.max(label_map) > 0
-            ly, lx = argmax_rowcol(label_map)
-            py, px = argmax_rowcol(hm[:, :, j])
+            ly, lx = _argmax_rowcol(label_map)
+            py, px = _argmax_rowcol(hm[:, :, j])
             dist = jnp.sqrt(
                 jnp.square(ly - py).astype(jnp.float32)
                 + jnp.square(lx - px).astype(jnp.float32)
@@ -191,15 +190,8 @@ def pckh_simple(
     """
 
     def per_image(hm, tgt):
-        def argmax_rowcol(m):
-            # torch: ys = argmax over rows of per-row maxima; xs = per-row
-            # argmax at ys.
-            ys = jnp.argmax(jnp.max(m, axis=1))
-            xs = jnp.argmax(m[ys])
-            return ys, xs
-
-        head_y, head_x = argmax_rowcol(tgt[:, :, head_index])
-        neck_y, neck_x = argmax_rowcol(tgt[:, :, neck_index])
+        head_y, head_x = _argmax_rowcol(tgt[:, :, head_index])
+        neck_y, neck_x = _argmax_rowcol(tgt[:, :, neck_index])
         standard = (
             jnp.sqrt(
                 jnp.square(head_y - neck_y).astype(jnp.float32)

@@ -141,12 +141,28 @@ class TestDecode:
         assert bool(valid[0, 0]) and not bool(valid[0, 1])
 
     def test_normalized_peak(self, rng):
+        """Reference semantics (try_different_stack.py:485-498): min-max
+        normalize per channel, mask = normalized > threshold (all such
+        pixels, not just the argmax)."""
         hm = rng.random((1, 8, 8, 3)).astype(np.float32)
-        coords, valid = normalized_peak_decode(jnp.asarray(hm), threshold=0.99)
-        assert np.asarray(valid).all()  # channel max normalizes to 1 > 0.99...
-        # peak==1 exactly -> with threshold 0.5 all valid too
-        _, v2 = normalized_peak_decode(jnp.asarray(hm), threshold=0.5)
-        assert np.asarray(v2).all()
+        mask, norm = normalized_peak_decode(jnp.asarray(hm), threshold=0.7)
+        mask, norm = np.asarray(mask), np.asarray(norm)
+        for ch in range(3):
+            x = hm[0, :, :, ch]
+            golden_norm = (x - x.min()) / (x.max() - x.min())
+            np.testing.assert_allclose(norm[0, :, :, ch], golden_norm,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(mask[0, :, :, ch], golden_norm > 0.7)
+        # the channel max always normalizes to exactly 1 -> always detected
+        assert mask.reshape(-1, 3).any(axis=0).all()
+        # a higher threshold can only shrink the detection set
+        m2, _ = normalized_peak_decode(jnp.asarray(hm), threshold=0.9)
+        assert (np.asarray(m2) <= mask).all()
+
+    def test_local_max_nms_even_window(self, rng):
+        hm = rng.random((1, 8, 8, 1)).astype(np.float32)
+        mask = np.asarray(local_max_nms(jnp.asarray(hm), window=4))
+        assert mask.shape == hm.shape  # even windows keep the shape too
 
     def test_local_max_nms_matches_scipy(self, rng):
         from scipy import ndimage
