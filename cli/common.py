@@ -235,7 +235,7 @@ def build_loader_from_args(args, shuffle=True, drop_remainder=None):
     elif args.dataset == "lsp":
         if not args.lsp_mat:
             raise SystemExit("--lsp-mat or --manifest required for dataset=lsp")
-        manifest = build_lsp_manifest(args.lsp_mat, args.image_dir or "")
+        manifest = build_lsp_manifest(args.lsp_mat)
     else:
         from progressive_process_for_human_pose_estimation_tpu.data import (
             synthetic_lsp_manifest,

@@ -104,9 +104,17 @@ def main(argv=None):
     # afterwards build_loader_from_args gives this process its manifest shard.
     parallel.initialize()
 
+    from progressive_process_for_human_pose_estimation_tpu.train.objectives import (
+        GAUSS_CONSUMERS,
+    )
+
     size = args.input_size
     manifest, loader = build_loader_from_args(args)
-    render_fn = make_render_fn(manifest, inputsize=size, augment=not args.no_augment)
+    # Skip the per-sample Gaussian render for objectives that never read
+    # gauss_maps (the LSP renderer is inherently Gaussian and ignores this).
+    render_fn = make_render_fn(manifest, inputsize=size,
+                               augment=not args.no_augment,
+                               render_gauss=args.objective in GAUSS_CONSUMERS)
     loader.staging_size = render_fn.staging_size
     if args.prefetch_threads > 0:
         from progressive_process_for_human_pose_estimation_tpu.data import (

@@ -55,7 +55,7 @@ def load_manifest(path: str) -> Manifest:
 # LSP
 # --------------------------------------------------------------------------
 
-def build_lsp_manifest(joints_mat_path: str, images_dir: str) -> Manifest:
+def build_lsp_manifest(joints_mat_path: str) -> Manifest:
     """LSP: joints.mat holds (3, 14, N) [x; y; visibility-flag] and images
     are im0001.jpg..imNNNN.jpg (/root/reference/data_argumentation.py:14-50,
     which indexes joints[axis][joint][number])."""

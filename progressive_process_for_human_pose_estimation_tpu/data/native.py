@@ -44,7 +44,17 @@ _SRC = os.path.join(
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
     so = os.path.join(os.path.dirname(_SRC), "_jpeg_feeder.so")
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(_SRC):
+    # A prebuilt .so with no source alongside (packaged install / cleaned
+    # tree) is loaded as-is; rebuild only when the source is present and
+    # newer. Never raise from here — the contract is PIL fallback.
+    has_src = os.path.exists(_SRC)
+    stale = (
+        not os.path.exists(so)
+        or (has_src and os.path.getmtime(so) < os.path.getmtime(_SRC))
+    )
+    if stale:
+        if not has_src:
+            return None
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", so, _SRC, "-ljpeg",
                "-pthread"]
         try:

@@ -11,7 +11,6 @@ DataLoader worker processes doing per-sample PIL work (SURVEY.md §3 hot loop
 
 from __future__ import annotations
 
-import functools
 import os
 import threading
 from typing import Dict, Iterator, Optional
@@ -269,11 +268,9 @@ class PrefetchLoader:
         from concurrent.futures import ThreadPoolExecutor
 
         loader = self.loader
-        n = len(loader.manifest["image_names"])
-        order = loader.rng.permutation(n) if loader.shuffle else np.arange(n)
-        bs = loader.batch_size
-        stop = n - n % bs if loader.drop_remainder else n
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # queue.Queue treats maxsize<=0 as UNBOUNDED — clamp so prefetch=0
+        # ("threaded decode, no lookahead") can't buffer a whole epoch.
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         SENTINEL = object()
         abort = threading.Event()
 
@@ -299,8 +296,9 @@ class PrefetchLoader:
 
         def producer():
             try:
-                for start in range(0, stop, bs):
-                    idx = order[start : start + bs]
+                # Epoch order/remainder semantics come from HostLoader's own
+                # index generator, so the two loaders can never drift.
+                for idx in loader._iter_index_batches():
                     batch = loader._pack_batch(idx, loader._load_batch(idx, pool=pool))
                     if not put(batch):
                         return
@@ -467,11 +465,16 @@ class HostLoader:
             return list(pool.map(self._load_image, idx))
         return [self._load_image(i) for i in idx]
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _iter_index_batches(self) -> Iterator[np.ndarray]:
+        """One epoch's batch index arrays (shuffle + remainder semantics live
+        here, shared by the inline and prefetch iteration paths)."""
         n = len(self.manifest["image_names"])
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         bs = self.batch_size
         stop = n - n % bs if self.drop_remainder else n
         for start in range(0, stop, bs):
-            idx = order[start : start + bs]
+            yield order[start : start + bs]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for idx in self._iter_index_batches():
             yield self._pack_batch(idx, self._load_batch(idx))

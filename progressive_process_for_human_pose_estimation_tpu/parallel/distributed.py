@@ -22,7 +22,6 @@ from typing import Optional
 import jax
 import numpy as np
 
-from .mesh import batch_sharding
 
 
 def initialize(
@@ -79,8 +78,23 @@ def host_shard(
     if seed is not None:
         idx = np.random.default_rng(seed).permutation(idx)
     # Drop the ragged tail so every host contributes the same count per
-    # epoch (keeps the global batch shape static for XLA).
+    # epoch: multi-process steps are collective programs, so every host must
+    # run the SAME number of batches (a host with one extra batch deadlocks
+    # the others). Equal shards are required for correctness, not just
+    # static shapes — but the drop must never be silent, because for
+    # evaluation it means up to process_count-1 samples are not scored.
     per_host = n_samples // process_count
+    dropped = n_samples - per_host * process_count
+    if dropped and process_index == 0:
+        import warnings
+
+        warnings.warn(
+            f"host_shard: dropping {dropped} of {n_samples} samples so all "
+            f"{process_count} hosts run equal collective step counts; for "
+            "exact multi-host evaluation pad the manifest to a multiple of "
+            "the process count",
+            stacklevel=2,
+        )
     return idx[process_index * per_host : (process_index + 1) * per_host]
 
 
@@ -89,11 +103,10 @@ def host_batches_to_global(batch, mesh):
 
     Each process passes its *local* batch (``global_batch / process_count``
     samples); the result is a pytree of ``jax.Array``s whose leading axis is
-    the global batch, sharded over the mesh's ``data`` axis. Under a single
-    process this is exactly ``shard_batch`` (local == global).
+    the global batch, sharded over the mesh's ``data`` axis. This is exactly
+    ``shard_batch`` (whose multi-process branch does the same global
+    assembly); kept as a named alias for the multi-host API surface.
     """
-    sh = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-        batch,
-    )
+    from .mesh import shard_batch
+
+    return shard_batch(batch, mesh)

@@ -11,13 +11,12 @@ is an optional ``jnp.isfinite`` check returned in metrics.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..parallel import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from ..parallel import shard_batch
 from .state import TrainState
 
 

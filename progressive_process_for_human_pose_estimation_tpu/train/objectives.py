@@ -142,7 +142,15 @@ OBJECTIVES = {
     "progressive_2stage": progressive_2stage_objective,
     "progressive_ce_ce_mse": progressive_ce_ce_mse_objective,
     "classic_mse": classic_mse_objective,
+    # (GAUSS_CONSUMERS below lists which of these read batch["gauss_maps"].)
     "single_stack_ce": single_stack_ce_objective,
     "split_channel": split_channel_objective,
     "masked": masked_objective,
 }
+
+# Objectives whose loss reads batch["gauss_maps"]. Training drivers skip the
+# per-sample Gaussian render (max_persons x joints x map^2 exp evaluations,
+# plus transfer/sharding of the unused tensor) for every other objective.
+GAUSS_CONSUMERS = frozenset(
+    {"classic_mse", "progressive_2stage", "progressive_ce_ce_mse"}
+)

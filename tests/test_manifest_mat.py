@@ -18,7 +18,7 @@ class TestLSPManifest:
         joints = rng.uniform(0, 200, (3, 14, n))
         path = str(tmp_path / "joints.mat")
         scipy.io.savemat(path, {"joints": joints})
-        m = build_lsp_manifest(path, str(tmp_path))
+        m = build_lsp_manifest(path)
         assert m["keypoints"].shape == (n, 14, 3)
         assert list(m["image_names"][:2]) == ["im0001.jpg", "im0002.jpg"]
         np.testing.assert_allclose(m["keypoints"][2, 5, 0], joints[0, 5, 2], rtol=1e-6)

@@ -151,7 +151,7 @@ class TestLSPEndToEnd:
         )
 
         mat, img_dir = lsp_fixture
-        m = build_lsp_manifest(mat, img_dir)
+        m = build_lsp_manifest(mat)
         train = select_split(m, "train")
         eval_ = select_split(m, "eval")
         assert len(train["image_names"]) == 21  # 24 - ceil(24/10)
