@@ -150,7 +150,9 @@ def _objective_min_channels(objective, req, n_outputs):
     k = kp - 1
     table = {
         "progressive": (2, sk, kp),
-        "masked": (2, sk, kp),
+        # masked: stage 3 is masked MSE on the k-joint Gaussians
+        # (try_remove_background_and_costomer_loss.py:375,421).
+        "masked": (2, sk, k),
         "progressive_ce_ce_mse": (2, sk, k),
         "progressive_2stage": (2, k),
         "mask_only": (2,) * n_outputs,

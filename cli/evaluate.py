@@ -57,9 +57,11 @@ def parse_args(argv=None):
 # Objectives whose FINAL stage regresses Gaussian maps (no background
 # channel): classic_mse (hourglass_compare.py:936-941), progressive_2stage
 # (try_different_stack_without_skeleton.py:360-393 — stage 2 = 17-ch MSE),
-# progressive_ce_ce_mse (try_more_layer.py:403-406 — stage 3 = MSE Gaussians).
+# progressive_ce_ce_mse (try_more_layer.py:403-406 — stage 3 = MSE Gaussians),
+# masked (try_remove_background_and_costomer_loss.py:375,421 — stage 3 =
+# masked MSE Gaussians).
 GAUSS_FINAL_OBJECTIVES = {"classic_mse", "progressive_2stage",
-                          "progressive_ce_ce_mse"}
+                          "progressive_ce_ce_mse", "masked"}
 
 
 def scoring_mode(args):

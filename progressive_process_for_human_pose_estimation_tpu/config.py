@@ -61,10 +61,13 @@ EXPERIMENTS = {
     # (try_with_aspp_remove_max_pool)".
     "aspp_no_maxpool": ExperimentConfig(
         name="aspp_no_maxpool",
-        model_preset="progressive_coco",
-        objective="progressive",
+        model_preset="progressive_no_maxpool",
+        objective="progressive_ce_ce_mse",
         dataset="coco",
-        notes="stride-2 residual downsampling + ASPP bottleneck (no maxpool)",
+        notes="cat-merge hourglass, stride-2 residual downsampling (no "
+              "maxpool; the file's ASPP modules are dead code); CE bg + CE "
+              "skeleton + MSE keypoint Gaussians "
+              "(try_with_aspp_remove_max_pool.py:262-317)",
     ),
     # BASELINE config 5: "COCO 17-keypoint full train+eval with augmentation
     # + background removal".

@@ -86,11 +86,18 @@ def combined_ohem_ce_loss(
     return ohem_ce_loss(logits, target, fraction, floor) + ce_loss(logits, target)
 
 
-def masked_ce_loss(logits: jax.Array, target: jax.Array, mask: jax.Array) -> jax.Array:
-    """CE weighted by a (N,H,W) mask, mean over ALL pixels
-    (/root/reference/train.py:365-376)."""
-    nll = _log_softmax_nll(logits, target)
-    return jnp.mean(nll * mask.astype(nll.dtype))
+def masked_ce_loss(
+    logits: jax.Array, target: jax.Array, mask: jax.Array,
+    reduction: str = "mean",
+) -> jax.Array:
+    """CE weighted by a (N,H,W) mask. ``reduction='mean'`` averages over ALL
+    pixels (/root/reference/train.py:365-376); ``'sum_mean'`` sums per sample
+    and averages over the batch — the try_remove_background variant
+    (/root/reference/try_remove_background_and_costomer_loss.py:180-184)."""
+    nll = _log_softmax_nll(logits, target) * mask.astype(jnp.float32)
+    if reduction == "sum_mean":
+        return jnp.mean(jnp.sum(nll.reshape(nll.shape[0], -1), axis=1))
+    return jnp.mean(nll)
 
 
 def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
@@ -100,11 +107,20 @@ def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(pred - target))
 
 
-def masked_mse_loss(pred: jax.Array, target: jax.Array, mask: jax.Array) -> jax.Array:
-    """MSE weighted by a (N,H,W) mask broadcast over channels, mean over all
-    elements (/root/reference/train.py:379-391)."""
+def masked_mse_loss(
+    pred: jax.Array, target: jax.Array, mask: jax.Array,
+    reduction: str = "mean",
+) -> jax.Array:
+    """MSE weighted by a (N,H,W) mask broadcast over channels.
+    ``reduction='mean'`` averages over all elements
+    (/root/reference/train.py:379-391); ``'sum_mean'`` sums per sample and
+    averages over the batch (/root/reference/
+    try_remove_background_and_costomer_loss.py:194-198)."""
     sq = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
-    return jnp.mean(sq * mask[..., None].astype(jnp.float32))
+    sq = sq * mask[..., None].astype(jnp.float32)
+    if reduction == "sum_mean":
+        return jnp.mean(jnp.sum(sq.reshape(sq.shape[0], -1), axis=1))
+    return jnp.mean(sq)
 
 
 def ohem_mse_loss(

@@ -25,6 +25,7 @@ from .recursive import (  # noqa: F401
     MPII_SKELETON,
     RefinerD,
     StackedHourglass,
+    TwoStackProgressive,
 )
 
 # Reference channel constants (/root/reference/train.py:42-48).
@@ -51,22 +52,32 @@ def _presets() -> Dict[str, Callable[..., Any]]:
             ProgressiveHourglass,
             out_channels=(2, N_SKELETON_MPII + 1, N_KEYPOINT_MPII + 1),
         ),
-        # Final progressive model, COCO config (try_with_aspp_remove_max_pool /
-        # try_costomer_loss lineage; nOutChannels = 2/20/18).
+        # Final (train.py) progressive model re-headed with COCO channel
+        # counts for the CE objectives (2 / nSkeleton+1 / nKeypoint+1 —
+        # keypoint CE needs the +1 background class). NOTE: this is OUR
+        # extension for COCO-schema demos; the reference's own COCO-lineage
+        # scripts (try_costomer_loss.py:37-39,
+        # try_with_aspp_remove_max_pool.py:36-38) use the cat-merge family
+        # with 17-ch MSE keypoint heads — presets 'gated_progressive' /
+        # 'progressive_no_maxpool' below.
         "progressive_coco": _preset(
             ProgressiveHourglass,
             out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1),
         ),
         # BASELINE config 2: 2-stack progressive with intermediate supervision
-        # (/root/reference/try_different_stack_without_skeleton.py:26-30).
+        # (/root/reference/try_different_stack_without_skeleton.py:281-328):
+        # weight-shared maxpool/add recursive hourglass, bias-free per-stack
+        # heads (2 bg / 17 keypoint-MSE), return conv4_0(cat[ll, out0]).
         "progressive_2stage": _preset(
-            ProgressiveHourglass, out_channels=(2, N_KEYPOINT_COCO)
+            TwoStackProgressive, out_channels=(2, N_KEYPOINT_COCO)
         ),
         # Hard input-masking ablation
-        # (/root/reference/try_remove_background_and_costomer_loss.py:314-360).
+        # (/root/reference/try_remove_background_and_costomer_loss.py:311-362):
+        # unshared cat-merge hourglass + residual per stage; stage-3 head is
+        # 17-ch masked-MSE on Gaussians (no background class).
         "stage_sequential": _preset(
             StageSequentialProgressive,
-            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1),
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO),
         ),
         # Classic Newell 4-stack baseline
         # (/root/reference/hourglass_compare.py:546-638).
@@ -96,11 +107,20 @@ def _presets() -> Dict[str, Callable[..., Any]]:
             variant="skeleton_merge",
             skeleton=COCO_SKELETON,
         ),
-        # Gated recursive progressive (argmax-mask feature gating,
-        # /root/reference/try_costomer_loss.py:296-330).
+        # Gated cat-merge progressive (argmax-mask feature gating,
+        # /root/reference/try_costomer_loss.py:284-330; 17-ch MSE keypoint
+        # stage).
         "gated_progressive": _preset(
             GatedRecursiveProgressive,
-            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO + 1),
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO),
+        ),
+        # BASELINE config 4: the same cat-merge model WITHOUT the gate —
+        # "remove max pool" (/root/reference/try_with_aspp_remove_max_pool
+        # .py:262-301): stage-0 logits join the first feature return.
+        "progressive_no_maxpool": _preset(
+            GatedRecursiveProgressive,
+            gate_stage0=False,
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO),
         ),
         # Derived-skeleton variant
         # (/root/reference/try_skeleton_from_keypoints.py:265-283).
@@ -111,11 +131,14 @@ def _presets() -> Dict[str, Callable[..., Any]]:
             variant="skeleton_from_keypoints",
             skeleton=COCO_SKELETON,
         ),
-        # Recursive-hourglass progressive with ASPP bottleneck, 3 stacks
-        # (/root/reference/try_with_aspp.py:283-331).
+        # Recursive-hourglass progressive, 3 stacks
+        # (/root/reference/try_with_aspp.py:283-331 — its hourglass
+        # constructs ASPP modules that the forward never calls, so the
+        # innermost level is a pass-through).
         "progressive_aspp_recursive": _preset(
             ProgressiveRecursiveASPP,
             n_stack=3,
+            bottleneck="identity",
             out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO),
         ),
         # Same family, 4 stacks with the "stages >= 2 all emit keypoints"

@@ -2,9 +2,10 @@
 bottleneck — the try_more_layer / try_with_aspp lineage.
 
 Rebuilds ``creatModel`` of /root/reference/try_more_layer.py:315-363 (4
-stacks) and /root/reference/try_with_aspp.py:283-331 (3 stacks): stem →
-shared ``hourglass(4, f)`` whose innermost level is an ASPP block
-(try_more_layer.py:280-290), shared residual4/lin, and per-stage heads:
+stacks, innermost level = ASPP, try_more_layer.py:280-290) and
+/root/reference/try_with_aspp.py:283-331 (3 stacks, innermost level =
+pass-through — that file constructs ASPP modules its forward never calls):
+stem → shared ``hourglass(4, f)``, shared residual4/lin, per-stage heads:
 
 - stage 0: background (conv2_0, 2 ch), return ``inter = conv4_0(cat[ll, out])``
   (conv4_0 is the only BIASED head conv — a reference quirk, line 330 vs 332);
@@ -39,6 +40,11 @@ class ProgressiveRecursiveASPP(nn.Module):
     n_stack: int = 3
     n_modules: int = 2
     hourglass_depth: int = 4
+    # Innermost-level behaviour (ops.hourglass.RecursiveHourglass.bottleneck):
+    # try_more_layer's forward applies its ASPP ('aspp'); try_with_aspp
+    # constructs ASPP modules but its forward never calls them, so its
+    # innermost level is a pass-through ('identity').
+    bottleneck: str = "aspp"
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
@@ -69,7 +75,7 @@ class ProgressiveRecursiveASPP(nn.Module):
             self.hourglass_depth,
             self.n_modules,
             share_weights=True,
-            aspp_bottleneck=True,
+            bottleneck=self.bottleneck,
             name="hourglass1",
             **kw,
         )

@@ -140,16 +140,23 @@ class ProgressiveHourglass(nn.Module):
 
 class StageSequentialProgressive(nn.Module):
     """Hard-masking ablation
-    (/root/reference/try_remove_background_and_costomer_loss.py:314-360).
+    (/root/reference/try_remove_background_and_costomer_loss.py:311-362).
 
+    Each stage is an UNSHARED ``Sequential(CatMergeHourglass(4, f),
+    ResidualBlock(f, f))`` (lines 321-338; the cat-merge hourglass of the
+    removed-max-pool lineage — its constructed ASPP modules are dead code).
     Stage 1 predicts the background mask from the stem features; the stem
-    features are then multiplied by ``argmax(mask)`` (foreground = 1) before
-    stage 2; stage 3 input is ``1x1(concat[masked stem, stage-2 features,
-    stage-2 logits])``.
+    features are then multiplied by ``argmax(mask)`` (foreground = 1,
+    line 348) before stage 2; stage 3 input is
+    ``stage2_return(concat[masked stem, stage-2 features, stage-2 logits])``
+    (bias-free, line 332). Heads are bias-free; reference channels
+    (2, nSkeleton+1=20, nKeypoint=17) with losses annealed-OHEM-CE /
+    masked-CE / masked-MSE-on-Gaussians (lines 373-375, 419-421 — the
+    ``masked`` objective).
     """
 
     features: int = 256
-    out_channels: Sequence[int] = (2, 20, 18)
+    out_channels: Sequence[int] = (2, 20, 17)
     hourglass_depth: int = 4
     always_project: bool = True
     use_running_average: bool = False
@@ -170,24 +177,32 @@ class StageSequentialProgressive(nn.Module):
         f = self.features
         c0, c1, c2 = self.out_channels
 
+        from ..ops.hourglass import CatMergeHourglass
+
+        def stage(h, i):
+            h = CatMergeHourglass(
+                f, self.hourglass_depth, name=f"stage{i}", **kw
+            )(h)
+            return ResidualBlock(f, name=f"stage{i}_residual", **kw)(h)
+
         feats = Stem(f, name="preprocess1", **kw)(x)
         outs = []
 
-        ll = ASPPHourglass(f, depth=self.hourglass_depth, name="stage1", **kw)(feats)
+        ll = stage(feats, 1)
         mask_logits = Conv(c0, 1, 1, 0, use_bias=False, name="stage1_out", **ckw)(ll)
         outs.append(mask_logits)
 
         mask = jnp.argmax(mask_logits, axis=-1)[..., None].astype(feats.dtype)
         inter = feats * mask
 
-        ll = ASPPHourglass(f, depth=self.hourglass_depth, name="stage2", **kw)(inter)
+        ll = stage(inter, 2)
         sk_logits = Conv(c1, 1, 1, 0, use_bias=False, name="stage2_out", **ckw)(ll)
         outs.append(sk_logits)
 
         merged = jnp.concatenate([inter, ll, sk_logits], axis=-1)
-        inter = Conv(f, 1, 1, 0, use_bias=False, name="stage2_down", **ckw)(merged)
+        inter = Conv(f, 1, 1, 0, use_bias=False, name="stage2_return", **ckw)(merged)
 
-        ll = ASPPHourglass(f, depth=self.hourglass_depth, name="stage3", **kw)(inter)
+        ll = stage(inter, 3)
         kp_logits = Conv(c2, 1, 1, 0, use_bias=False, name="stage3_out", **ckw)(ll)
         outs.append(kp_logits)
         return outs

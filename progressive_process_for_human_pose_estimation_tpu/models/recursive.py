@@ -231,15 +231,25 @@ class StackedHourglass(nn.Module):
             head = Conv(self.out_channels, 1, 1, 0, name="conv2", **ckw)
             ret_ll = Conv(f, 1, 1, 0, name="conv3", **ckw)
             ret_out = Conv(f, 1, 1, 0, name="conv4", **ckw)
-            stack_mods = [(hourglass, residual4, lin, head, ret_ll, ret_out)] * self.n_stack
+            # Shared mode: the SAME residual4 applied n_modules times (torch
+            # reuses self.residual4 in a loop, only_one_hourgless.py:243-244).
+            stack_mods = [
+                (hourglass, [residual4] * self.n_modules, lin, head, ret_ll, ret_out)
+            ] * self.n_stack
         else:
+            # Unshared mode: the Keras functional reference instantiates a
+            # FRESH Residual per repetition (model.py:104-106), so each of
+            # the n_modules applications gets its own weights.
             stack_mods = [
                 (
                     HG(
                         f, self.hourglass_depth, self.n_modules, share_weights=False,
                         name=f"hourglass_{i}", **rkw,
                     ),
-                    ResidualBlockLite(f, name=f"residual4_{i}", **rkw),
+                    [
+                        ResidualBlockLite(f, name=f"residual4_{i}_{j}", **rkw)
+                        for j in range(self.n_modules)
+                    ],
                     ConvBNReLU(f, 1, name=f"lin_{i}", **kw),
                     Conv(self.out_channels, 1, 1, 0, name=f"conv2_{i}", **ckw),
                     Conv(f, 1, 1, 0, name=f"conv3_{i}", **ckw),
@@ -339,9 +349,9 @@ class StackedHourglass(nn.Module):
         )
         fold_wb = None
         outs = []
-        for i, (hg_m, res_m, lin_m, head_m, ret_ll_m, ret_out_m) in enumerate(stack_mods):
+        for i, (hg_m, res_list, lin_m, head_m, ret_ll_m, ret_out_m) in enumerate(stack_mods):
             ll = hg_m(inter)
-            for _ in range(self.n_modules):
+            for res_m in res_list:
                 ll = res_m(ll)
             ll = lin_m(ll)
             if use_fold and i < self.n_stack - 1:
@@ -389,6 +399,76 @@ class StackedHourglass(nn.Module):
             outs.append(stack_out)
             if i < self.n_stack - 1:
                 inter = ret_ll_m(ll) + ret_out_m(return_feed)
+        return outs
+
+
+class TwoStackProgressive(nn.Module):
+    """The 2-stack progressive ablation — BASELINE config 2
+    (/root/reference/try_different_stack_without_skeleton.py:281-328).
+
+    Same family as :class:`StackedHourglass` (Lite residuals, maxpool/add
+    recursive hourglass, ONE hourglass/residual4/lin shared across both
+    stacks) but with per-stack head channels and a different feature return:
+    stack 0 emits the 2-ch background mask (``conv2_0``, bias-free) and the
+    next stack's input is ``conv4_0(concat[ll, out0])`` (BIASED, line 294);
+    stack 1 emits the keypoint head (``conv2_1``, bias-free, nKeypoint=17 —
+    an MSE-on-Gaussians head, per the script's declared losses; see
+    train/objectives.progressive_2stage_objective for the loss-block
+    rationale).
+    """
+
+    features: int = 256
+    out_channels: Sequence[int] = (2, 17)
+    n_modules: int = 2
+    hourglass_depth: int = 4
+    use_running_average: bool = False
+    bn_axis_name: Optional[str] = None
+    remat: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(
+            use_running_average=self.use_running_average,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        ckw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        f = self.features
+        HG = nn.remat(RecursiveHourglass) if self.remat else RecursiveHourglass
+
+        # Stem (try_different_stack_without_skeleton.py:285-290, forward
+        # 299-305): conv7x7/2 → ReLU → ResidualLite(128) → maxpool →
+        # ResidualLite(128) → ResidualLite(f).
+        y = Conv(64, 7, 2, 3, name="conv1", **ckw)(x)
+        y = nn.relu(y)
+        y = ResidualBlockLite(128, name="residual1", **kw)(y)
+        y = max_pool_2x2(y)
+        y = ResidualBlockLite(128, name="residual2", **kw)(y)
+        inter = ResidualBlockLite(f, name="residual3", **kw)(y)
+
+        hourglass = HG(
+            f, self.hourglass_depth, self.n_modules, share_weights=True,
+            name="hourglass1", **kw,
+        )
+        residual4 = ResidualBlockLite(f, name="residual4", **kw)
+        lin = ConvBNReLU(f, 1, name="lin", **kw)
+
+        outs = []
+        for i, c in enumerate(self.out_channels):
+            ll = hourglass(inter)
+            for _ in range(self.n_modules):
+                ll = residual4(ll)
+            ll = lin(ll)
+            head_out = Conv(
+                c, 1, 1, 0, use_bias=False, name=f"conv2_{i}", **ckw
+            )(ll)
+            outs.append(head_out)
+            if i < len(self.out_channels) - 1:
+                merged = jnp.concatenate([ll, head_out], axis=-1)
+                inter = Conv(f, 1, 1, 0, name=f"conv4_{i}", **ckw)(merged)
         return outs
 
 

@@ -22,7 +22,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import ASPPBlock, ResidualBlock, ResidualBlockLite
+from .blocks import ASPPBlock, Conv, ResidualBlock, ResidualBlockLite
 from .resize import max_pool_2x2, upsample2x_bilinear_align_corners, upsample2x_nearest
 
 
@@ -134,19 +134,26 @@ class RecursiveHourglass(nn.Module):
     gives the fully-unshared Keras-style version (model.py:66-84).
     Upsampling is bilinear with align_corners=True; the merge is additive.
 
-    ``aspp_bottleneck``: replace the innermost level's residual chain with an
-    ASPP block (bare-conv projection) — the try_more_layer/try_with_aspp
-    variant (/root/reference/try_more_layer.py:280-290,
-    /root/reference/try_with_aspp.py:250-273). The reference constructs an
-    (unused) ASPP at every level but only the innermost forward applies it;
-    the dead outer copies are not reproduced.
+    ``bottleneck`` selects what happens at the innermost level in place of
+    recursion — the try_* scripts differ here:
+
+    - ``'modules'`` — ``n_modules`` more applications of the level's residual
+      (only_one_hourgless.py:186-189, try_different_stack_without_skeleton
+      .py:253-256);
+    - ``'identity'`` — nothing: ``low2 = low1``
+      (/root/reference/try_with_aspp.py:267-269 — the file CONSTRUCTS ASPP
+      modules at every level but its forward never calls them);
+    - ``'aspp'`` — an ASPP block with bare-conv projection
+      (/root/reference/try_more_layer.py:280-290, the only script whose
+      forward actually applies its ASPP). The reference's dead outer-level
+      ASPP copies are not reproduced.
     """
 
     features: int = 256
     depth: int = 4
     n_modules: int = 2
     share_weights: bool = True
-    aspp_bottleneck: bool = False
+    bottleneck: str = "modules"
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
     fused_eval: bool = False  # see ResidualBlockLite.fused_eval
@@ -164,6 +171,8 @@ class RecursiveHourglass(nn.Module):
         )
         f = self.features
 
+        if self.bottleneck not in ("modules", "identity", "aspp"):
+            raise ValueError(f"unknown bottleneck {self.bottleneck!r}")
         aspp = (
             ASPPBlock(
                 f,
@@ -174,7 +183,7 @@ class RecursiveHourglass(nn.Module):
                 param_dtype=self.param_dtype,
                 name="aspp",
             )
-            if self.aspp_bottleneck
+            if self.bottleneck == "aspp"
             else None
         )
 
@@ -207,10 +216,68 @@ class RecursiveHourglass(nn.Module):
                 # Innermost level: ASPP replaces the residual chain
                 # (try_more_layer.py:280-290: low2 = conv1(cat[aspp1..4, gap])).
                 low2 = aspp(low1)
+            elif self.bottleneck == "identity":
+                low2 = low1  # try_with_aspp.py:267-269
             else:
                 low2 = mods(low1, "low2")
             low3 = mods(low2, "low3")
             up2 = upsample2x_bilinear_align_corners(low3)
             return up1 + up2
+
+        return level(x, self.depth, "")
+
+
+class CatMergeHourglass(nn.Module):
+    """Cat-merge recursive hourglass — the "removed max-pool" family shared
+    by /root/reference/try_costomer_loss.py:227-264,
+    try_with_aspp_remove_max_pool.py:209-246 and
+    try_remove_background_and_costomer_loss.py:246-292 (identical class in
+    each). Per level: the skip is the input UNTOUCHED (``up1 = x``); the
+    down path is ONE stride-2 full ResidualBlock; below the recursion, ONE
+    stride-1 ResidualBlock; bilinear align_corners=True upsample; merge =
+    ``1x1 bias-free conv over concat[up1, up2]``. Every level owns its own
+    two residual blocks and merge conv (nested ``hourglass(n-1)`` modules).
+    The scripts also construct ASPP modules and a ``conv3`` at every level
+    that their forwards never call — that dead code is not reproduced.
+
+    The residual blocks are the full pre-activation kind WITH the
+    always-project quirk (these files' ResidualBlock has ``bn4`` + a
+    ``stride != 1 | numIn != numOut`` skip condition —
+    try_costomer_loss.py:187-224), unlike the Lite blocks of the
+    maxpool/add-merge family.
+    """
+
+    features: int = 256
+    depth: int = 4
+    always_project: bool = True
+    use_running_average: bool = False
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(
+            always_project=self.always_project,
+            use_running_average=self.use_running_average,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        ckw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        f = self.features
+
+        def level(h, n, prefix):
+            up1 = h
+            low1 = ResidualBlock(
+                f, stride=2, name=f"{prefix}residual_stride", **kw
+            )(h)
+            low2 = level(low1, n - 1, f"{prefix}inner_") if n > 1 else low1
+            low3 = ResidualBlock(f, name=f"{prefix}residual", **kw)(low2)
+            up2 = upsample2x_bilinear_align_corners(low3)
+            merged = jnp.concatenate([up1, up2], axis=-1)
+            return Conv(f, 1, 1, 0, use_bias=False, name=f"{prefix}conv2", **ckw)(
+                merged
+            )
 
         return level(x, self.depth, "")

@@ -142,12 +142,24 @@ def rasterize_lines(
     s_maj = jnp.sign(jnp.where(x_major, d[..., 0], d[..., 1]))
     s_min = jnp.sign(jnp.where(x_major, d[..., 1], d[..., 0]))
 
+    # The step window is bounded (max_steps) but a line with a far
+    # off-canvas endpoint can have l_major >> max_steps while its VISIBLE
+    # span is at most max(h, w). Start the window at the first step whose
+    # major coordinate is on-canvas (k_start): same per-step arithmetic,
+    # just shifted — in-range lines keep k_start = 0 and are bit-identical.
+    m_lim = jnp.where(x_major, w, h)
+    k_start = jnp.where(
+        s_maj > 0,
+        jnp.clip(-maj0, 0, None),
+        jnp.where(s_maj < 0, jnp.clip(maj0 - (m_lim - 1), 0, None), 0),
+    )
     i = jnp.arange(max_steps, dtype=jnp.int32)  # (S,)
-    active = (i[None, None, :] <= l_major[..., None]) & valid[..., None]  # (P,E,S)
-    maj = maj0[..., None] + s_maj[..., None] * i[None, None, :]
+    ii = k_start[..., None] + i[None, None, :]  # (P, E, S) absolute steps
+    active = (ii <= l_major[..., None]) & valid[..., None]  # (P,E,S)
+    maj = maj0[..., None] + s_maj[..., None] * ii
     denom = jnp.maximum(l_major, 1).astype(jnp.float32)
     off = jnp.floor(
-        i[None, None, :].astype(jnp.float32) * l_minor[..., None].astype(jnp.float32)
+        ii.astype(jnp.float32) * l_minor[..., None].astype(jnp.float32)
         / denom[..., None]
         + 0.5
     ).astype(jnp.int32)

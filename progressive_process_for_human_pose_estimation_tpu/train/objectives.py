@@ -88,15 +88,20 @@ def split_channel_objective(outputs, batch, epoch, split: int = 18):
 
 def masked_objective(outputs, batch, epoch, ohem_floor: float = 0.25):
     """Mask-weighted losses driven by the PREDICTED stage-1 mask
-    (try_remove_background_and_costomer_loss.py:419-421): stage-1 OHEM-CE on
-    the background map; stages 2-3 CE weighted by argmax(stage-1)."""
+    (try_remove_background_and_costomer_loss.py:373-375, 419-421): stage-1
+    annealed OHEM-CE on the background map; stage-2 CE and stage-3 MSE (on
+    the keypoint GAUSSIANS — loss3_keypoints is Costomer_MSELoss_with_mask
+    fed by_keypoints) both weighted by argmax(stage-1), each summed per
+    sample and averaged over the batch (that file's _with_mask reduction)."""
     fraction = (100.0 - epoch.astype(jnp.float32)) / 100.0
     loss_1 = combined_ohem_ce_loss(
         outputs[0], batch["background_map"], fraction, ohem_floor
     )
     pred_mask = jnp.argmax(outputs[0], axis=-1)  # (N, H, W) in {0, 1}
-    loss_2 = masked_ce_loss(outputs[1], batch["skeleton_map"], pred_mask)
-    loss_3 = masked_ce_loss(outputs[2], batch["keypoint_map"], pred_mask)
+    loss_2 = masked_ce_loss(outputs[1], batch["skeleton_map"], pred_mask,
+                            reduction="sum_mean")
+    loss_3 = masked_mse_loss(outputs[2], batch["gauss_maps"], pred_mask,
+                             reduction="sum_mean")
     total = loss_1 + loss_2 + loss_3
     return total, {"loss": total, "loss_1": loss_1, "loss_2": loss_2, "loss_3": loss_3}
 
@@ -152,5 +157,5 @@ OBJECTIVES = {
 # per-sample Gaussian render (max_persons x joints x map^2 exp evaluations,
 # plus transfer/sharding of the unused tensor) for every other objective.
 GAUSS_CONSUMERS = frozenset(
-    {"classic_mse", "progressive_2stage", "progressive_ce_ce_mse"}
+    {"classic_mse", "progressive_2stage", "progressive_ce_ce_mse", "masked"}
 )

@@ -435,3 +435,151 @@ class TestClassicParity:
                 np.asarray(j_o), t_np, rtol=1e-4, atol=1e-4,
                 err_msg=f"stack {i} mismatch",
             )
+
+
+# --------------------------------------------------------------------------
+# Cat-merge ("removed max-pool") family: try_costomer_loss.py:227-330 /
+# try_with_aspp_remove_max_pool.py:209-301
+# --------------------------------------------------------------------------
+
+
+class TCatMergeHourglass(tnn.Module):
+    """Per level: untouched skip, ONE stride-2 residual down, ONE residual
+    below the recursion, bilinear align-corners up, cat + bias-free 1x1."""
+
+    def __init__(self, c, n):
+        super().__init__()
+        self.rs = TResidual(c, c, 2)
+        self.r = TResidual(c, c)
+        self.inner = TCatMergeHourglass(c, n - 1) if n > 1 else None
+        self.conv2 = tnn.Conv2d(2 * c, c, 1, bias=False)
+
+    def forward(self, x):
+        up1 = x
+        low1 = self.rs(x)
+        low2 = self.inner(low1) if self.inner is not None else low1
+        low3 = self.r(low2)
+        up2 = F.interpolate(low3, scale_factor=2, mode="bilinear",
+                            align_corners=True)
+        return self.conv2(torch.cat([up1, up2], dim=1))
+
+
+class TCatMergeProgressive(tnn.Module):
+    """creatModel of the cat-merge scripts; ``gate`` selects the
+    try_costomer (gated) vs remove_max_pool (logits-join) first return."""
+
+    def __init__(self, c, out_channels, depth, gate):
+        super().__init__()
+        c0, c1, c2 = out_channels
+        self.gate = gate
+        self.stem_conv = tnn.Conv2d(3, 64, 7, 2, 3)
+        self.stem_res1 = TResidual(64, 128, 2)
+        self.stem_res2 = TResidual(128, 128)
+        self.stem_res3 = TResidual(128, c)
+        self.hourglass1 = TCatMergeHourglass(c, depth)
+        self.residual4 = TResidual(c, c)
+        self.lin_conv = tnn.Conv2d(c, c, 1)
+        self.lin_bn = tnn.BatchNorm2d(c)
+        self.conv2_0 = tnn.Conv2d(c, c0, 1, bias=False)
+        ret0_in = 2 * c if gate else 2 * c + c0
+        self.conv4_0 = tnn.Conv2d(ret0_in, c, 1)  # the only biased head conv
+        self.conv2_1 = tnn.Conv2d(c, c1, 1, bias=False)
+        self.conv4_1 = tnn.Conv2d(2 * c + c1, c, 1, bias=False)
+        self.conv2_2 = tnn.Conv2d(c, c2, 1, bias=False)
+
+    def forward(self, x):
+        inter = self.stem_res3(
+            self.stem_res2(self.stem_res1(F.relu(self.stem_conv(x))))
+        )
+        outs = []
+        for i in range(3):
+            ll = F.relu(self.lin_bn(self.lin_conv(
+                self.residual4(self.hourglass1(inter))
+            )))
+            if i == 0:
+                out = self.conv2_0(ll)
+                if self.gate:
+                    g = torch.argmax(out, dim=1, keepdim=True).float()
+                    inter = self.conv4_0(torch.cat([inter, ll], dim=1) * g)
+                else:
+                    inter = self.conv4_0(torch.cat([inter, ll, out], dim=1))
+            elif i == 1:
+                out = self.conv2_1(ll)
+                inter = self.conv4_1(torch.cat([inter, ll, out], dim=1))
+            else:
+                out = self.conv2_2(ll)
+            outs.append(out)
+        return outs
+
+
+def catmerge_hourglass_vars(t: TCatMergeHourglass, prefix=""):
+    params, stats = {}, {}
+    params[f"{prefix}residual_stride"], stats[f"{prefix}residual_stride"] = (
+        residual_vars(t.rs)
+    )
+    params[f"{prefix}residual"], stats[f"{prefix}residual"] = residual_vars(t.r)
+    params[f"{prefix}conv2"] = {"conv": t2j_conv(t.conv2)}
+    if t.inner is not None:
+        p, s = catmerge_hourglass_vars(t.inner, f"{prefix}inner_")
+        params.update(p)
+        stats.update(s)
+    return params, stats
+
+
+def catmerge_vars(t: TCatMergeProgressive):
+    params, stats = {}, {}
+    stem_p, stem_s = {}, {}
+    stem_p["conv1"] = {"conv": t2j_conv(t.stem_conv)}
+    for i, res in enumerate([t.stem_res1, t.stem_res2, t.stem_res3], 1):
+        stem_p[f"residual{i}"], stem_s[f"residual{i}"] = residual_vars(res)
+    params["preprocess1"], stats["preprocess1"] = stem_p, stem_s
+    params["hourglass1"], stats["hourglass1"] = catmerge_hourglass_vars(t.hourglass1)
+    params["residual4"], stats["residual4"] = residual_vars(t.residual4)
+    params["lin"], stats["lin"] = cbr_vars(t.lin_conv, t.lin_bn)
+    for name in ["conv2_0", "conv4_0", "conv2_1", "conv4_1", "conv2_2"]:
+        params[name] = {"conv": t2j_conv(getattr(t, name))}
+    return {"params": params, "batch_stats": stats}
+
+
+class TestCatMergeParity:
+    @pytest.mark.parametrize("gate", [True, False])
+    def test_full_model_fp32(self, rng, gate):
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            GatedRecursiveProgressive,
+        )
+
+        torch.manual_seed(3)
+        out_channels = (2, 20, 17)
+        depth = 2
+        tmodel = TCatMergeProgressive(FEATS, out_channels, depth, gate).eval()
+        with torch.no_grad():
+            randomize_bn_stats(tmodel, rng)
+
+        x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_outs = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+
+        jmodel = GatedRecursiveProgressive(
+            features=FEATS,
+            out_channels=out_channels,
+            hourglass_depth=depth,
+            gate_stage0=gate,
+            use_running_average=True,
+            dtype=jnp.float32,
+        )
+        ref_vars = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = catmerge_vars(tmodel)
+        ref_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(ref_vars["params"])[0]}
+        got_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(got["params"])[0]}
+        assert ref_paths == got_paths, (
+            f"missing: {sorted(map(str, ref_paths - got_paths))[:5]} "
+            f"extra: {sorted(map(str, got_paths - ref_paths))[:5]}"
+        )
+
+        j_outs = jmodel.apply(got, jnp.asarray(x))
+        for i, (t_o, j_o) in enumerate(zip(t_outs, j_outs)):
+            t_np = np.transpose(t_o.numpy(), (0, 2, 3, 1))
+            np.testing.assert_allclose(
+                np.asarray(j_o), t_np, rtol=2e-4, atol=2e-4,
+                err_msg=f"stage {i} mismatch (gate={gate})",
+            )

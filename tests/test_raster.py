@@ -243,3 +243,29 @@ class TestGaussian:
         hm = np.asarray(gaussian_heatmaps(jnp.asarray(centers), jnp.asarray(valid), H, W))
         assert np.unravel_index(hm[:, :, 0].argmax(), (H, W)) == (20, 10)
         np.testing.assert_allclose(hm[20, 10, 0], 1.0, rtol=1e-6)
+
+
+def test_line_with_far_offcanvas_endpoint_matches_pil():
+    """A line whose major extent exceeds max_steps (h+w) must still draw its
+    visible span (the bounded step window shifts to the on-canvas range)."""
+    from PIL import Image, ImageDraw
+
+    from progressive_process_for_human_pose_estimation_tpu.targets import (
+        rasterize_lines,
+    )
+
+    h = w = 64
+    cases = [((-500.0, 10.0), (40.0, 10.0)),   # horizontal from far left
+             ((40.0, 10.0), (-500.0, 10.0)),   # same, reversed
+             ((10.0, 900.0), (10.0, 20.0)),    # vertical from far below
+             ((-300.0, -200.0), (50.0, 40.0))]  # diagonal from far corner
+    for a, b in cases:
+        img = Image.new("I", (w, h), 0)
+        ImageDraw.Draw(img).line([tuple(map(int, a)), tuple(map(int, b))],
+                                 fill=1, width=1)
+        golden = (np.asarray(img) > 0)
+
+        p0 = jnp.asarray([[a]], jnp.float32)
+        p1 = jnp.asarray([[b]], jnp.float32)
+        ours = np.asarray(rasterize_lines(p0, p1, jnp.ones((1, 1), bool), h, w))
+        np.testing.assert_array_equal(ours > 0, golden, err_msg=f"{a}->{b}")
