@@ -154,6 +154,7 @@ def _objective_min_channels(objective, req, n_outputs):
         # (try_remove_background_and_costomer_loss.py:375,421).
         "masked": (2, sk, k),
         "progressive_ce_ce_mse": (2, sk, k),
+        "ohem_ce_ce_mse": (2, sk, k),
         "progressive_2stage": (2, k),
         "mask_only": (2,) * n_outputs,
         "classic_mse": (k,) * n_outputs,

@@ -61,7 +61,7 @@ def parse_args(argv=None):
 # masked (try_remove_background_and_costomer_loss.py:375,421 — stage 3 =
 # masked MSE Gaussians).
 GAUSS_FINAL_OBJECTIVES = {"classic_mse", "progressive_2stage",
-                          "progressive_ce_ce_mse", "masked"}
+                          "progressive_ce_ce_mse", "ohem_ce_ce_mse", "masked"}
 
 
 def scoring_mode(args):

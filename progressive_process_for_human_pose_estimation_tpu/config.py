@@ -115,4 +115,36 @@ EXPERIMENTS = {
         dataset="mpii",
         notes="4-stack Newell baseline, per-stack MSE on Gaussian maps",
     ),
+    # The first true progressive 3-stage model (try_different_stack.py).
+    "different_stack": ExperimentConfig(
+        name="different_stack",
+        model_preset="progressive_3stage",
+        objective="progressive_ce_ce_mse",
+        dataset="coco",
+        batch_size=16,
+        notes="3-stage add-merge recursive hourglass; CE bg + CE skeleton + "
+              "MSE keypoint Gaussians (try_different_stack.py:281-329, "
+              "388-391); optional dense-CRF refinement at eval",
+    ),
+    # OHEM custom-loss experiment (try_costomer_loss.py).
+    "costomer_loss": ExperimentConfig(
+        name="costomer_loss",
+        model_preset="gated_progressive",
+        objective="ohem_ce_ce_mse",
+        dataset="coco",
+        batch_size=16,
+        notes="gated cat-merge model; fixed-0.25 OHEM CE (bg + skeleton, "
+              "per-sample top-k mean summed over batch) + MSE Gaussians "
+              "(try_costomer_loss.py:341-343, 387-390)",
+    ),
+    # Plain-CE ablation of the same gated model (try_remove_background.py).
+    "remove_background": ExperimentConfig(
+        name="remove_background",
+        model_preset="gated_progressive",
+        objective="progressive_ce_ce_mse",
+        dataset="coco",
+        batch_size=16,
+        notes="same gated cat-merge model, plain CE/CE/MSE losses "
+              "(try_remove_background.py:324-326, 370-372)",
+    ),
 }

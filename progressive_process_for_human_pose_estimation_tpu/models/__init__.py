@@ -135,6 +135,15 @@ def _presets() -> Dict[str, Callable[..., Any]]:
         # (/root/reference/try_with_aspp.py:283-331 — its hourglass
         # constructs ASPP modules that the forward never calls, so the
         # innermost level is a pass-through).
+        # The FIRST true progressive 3-stage model
+        # (/root/reference/try_different_stack.py:281-329): same family,
+        # innermost level = n_modules more residuals.
+        "progressive_3stage": _preset(
+            ProgressiveRecursiveASPP,
+            n_stack=3,
+            bottleneck="modules",
+            out_channels=(2, N_SKELETON_COCO + 1, N_KEYPOINT_COCO),
+        ),
         "progressive_aspp_recursive": _preset(
             ProgressiveRecursiveASPP,
             n_stack=3,

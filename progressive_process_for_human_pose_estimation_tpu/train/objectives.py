@@ -32,6 +32,7 @@ from ..losses import (
     masked_ce_loss,
     masked_mse_loss,
     mse_loss,
+    ohem_ce_loss,
     split_channel_ce_loss,
 )
 
@@ -118,6 +119,20 @@ def progressive_ce_ce_mse_objective(outputs, batch, epoch):
                    "loss_3": loss_3}
 
 
+def ohem_ce_ce_mse_objective(outputs, batch, epoch):
+    """try_costomer_loss.py:341-343, 387-390: fixed-fraction-0.25 OHEM CE on
+    the background and skeleton stages (that file's Costomer_CrossEntropyLoss
+    is mean-over-kept-pixels then SUM over the batch, lines 156-169 — hence
+    the xN), plain MSE on the keypoint Gaussians."""
+    n = outputs[0].shape[0]
+    loss_1 = ohem_ce_loss(outputs[0], batch["background_map"], 0.25) * n
+    loss_2 = ohem_ce_loss(outputs[1], batch["skeleton_map"], 0.25) * n
+    loss_3 = mse_loss(outputs[2], batch["gauss_maps"])
+    total = loss_1 + loss_2 + loss_3
+    return total, {"loss": total, "loss_1": loss_1, "loss_2": loss_2,
+                   "loss_3": loss_3}
+
+
 def progressive_2stage_objective(outputs, batch, epoch):
     """The 2-stage ablation (/root/reference/try_different_stack_without_skeleton.py):
     stage 1 background CE + stage 2 keypoint loss. The model emits exactly 2
@@ -146,6 +161,7 @@ OBJECTIVES = {
     "mask_only": mask_only_objective,
     "progressive_2stage": progressive_2stage_objective,
     "progressive_ce_ce_mse": progressive_ce_ce_mse_objective,
+    "ohem_ce_ce_mse": ohem_ce_ce_mse_objective,
     "classic_mse": classic_mse_objective,
     # (GAUSS_CONSUMERS below lists which of these read batch["gauss_maps"].)
     "single_stack_ce": single_stack_ce_objective,
@@ -157,5 +173,6 @@ OBJECTIVES = {
 # per-sample Gaussian render (max_persons x joints x map^2 exp evaluations,
 # plus transfer/sharding of the unused tensor) for every other objective.
 GAUSS_CONSUMERS = frozenset(
-    {"classic_mse", "progressive_2stage", "progressive_ce_ce_mse", "masked"}
+    {"classic_mse", "progressive_2stage", "progressive_ce_ce_mse",
+     "ohem_ce_ce_mse", "masked"}
 )
