@@ -434,3 +434,82 @@ class TestScanStacksParity:
             k: v for k, v in self.KW.items() if k != "variant"})
         with pytest.raises(ValueError, match="share_weights"):
             m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+
+class TTwoStack(tnn.Module):
+    """try_different_stack_without_skeleton.py:281-328: 2 weight-shared
+    stacks, bias-free per-stack heads, return conv4_0(cat[ll, out0])."""
+
+    def __init__(self, f, out_channels, depth=DEPTH):
+        super().__init__()
+        c0, c1 = out_channels
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3)
+        self.residual1 = TLite(64, 128)
+        self.residual2 = TLite(128, 128)
+        self.residual3 = TLite(128, f)
+        self.hourglass1 = TRecHourglass(depth, f)
+        self.residual4 = TLite(f, f)
+        self.lin = TLin(f)
+        self.conv2_0 = tnn.Conv2d(f, c0, 1, bias=False)
+        self.conv4_0 = tnn.Conv2d(f + c0, f, 1)  # biased (line 294)
+        self.conv2_1 = tnn.Conv2d(f, c1, 1, bias=False)
+
+    def forward(self, x):
+        x = F.relu(self.conv1(x))
+        x = self.residual1(x)
+        x = F.max_pool2d(x, 2)
+        inter = self.residual3(self.residual2(x))
+        out = []
+        for i in range(2):
+            ll = self.hourglass1(inter)
+            for _ in range(NMOD):
+                ll = self.residual4(ll)
+            ll = self.lin(ll)
+            if i == 0:
+                tmpOut = self.conv2_0(ll)
+                inter = self.conv4_0(torch.cat([ll, tmpOut], dim=1))
+            else:
+                tmpOut = self.conv2_1(ll)
+            out.append(tmpOut)
+        return out
+
+
+def two_stack_vars(t: TTwoStack):
+    params, stats = {}, {}
+    stem_vars(t, params, stats)
+    params["hourglass1"], stats["hourglass1"] = rec_hourglass_vars(t.hourglass1)
+    params["residual4"], stats["residual4"] = lite_vars(t.residual4)
+    params["lin"], stats["lin"] = cbr_vars(t.lin.conv, t.lin.bn)
+    for name in ["conv2_0", "conv4_0", "conv2_1"]:
+        params[name] = {"conv": t2j_conv(getattr(t, name))}
+    return {"params": params, "batch_stats": stats}
+
+
+class TestTwoStackProgressiveParity:
+    def test_two_stack_fp32(self, rng):
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            TwoStackProgressive,
+        )
+
+        torch.manual_seed(5)
+        out_channels = (2, 17)
+        tmodel = TTwoStack(FEATS, out_channels).eval()
+        with torch.no_grad():
+            randomize_bn_stats(tmodel, rng)
+
+        x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_outs = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+
+        jmodel = TwoStackProgressive(
+            features=FEATS, out_channels=out_channels, hourglass_depth=DEPTH,
+            n_modules=NMOD, use_running_average=True, dtype=jnp.float32,
+        )
+        got = two_stack_vars(tmodel)
+        assert_trees_match(jmodel, x, got)
+        j_outs = jmodel.apply(got, jnp.asarray(x))
+        for i, (t_o, j_o) in enumerate(zip(t_outs, j_outs)):
+            np.testing.assert_allclose(
+                np.asarray(j_o), np.transpose(t_o.numpy(), (0, 2, 3, 1)),
+                rtol=2e-4, atol=2e-4, err_msg=f"stack {i}",
+            )
