@@ -14,38 +14,20 @@ manual latency loop (/root/reference/hourglass_compare.py:1263-1273).
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 
 def timed_throughput(apply_fn, x, batch: int, n_lo: int = 2, n_hi: int = 12):
-    def chained(n):
-        @jax.jit
-        def f(x):
-            def body(i, carry):
-                x, acc = carry
-                outs = apply_fn(x + i.astype(x.dtype) * 1e-6)
-                out = outs[-1] if isinstance(outs, (list, tuple)) else outs
-                return x, acc + jnp.sum(out.astype(jnp.float32))
+    # One harness for every bench: bench/timing.measure_throughput (same
+    # loop-inside-jit + two-point differencing, plus the auto-widening guard
+    # against sub-jitter spans).
+    from progressive_process_for_human_pose_estimation_tpu.bench.timing import (
+        measure_throughput,
+    )
 
-            _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
-            return acc
-
-        return f
-
-    results = {}
-    for n in (n_lo, n_hi):
-        f = chained(n)
-        float(f(x))  # compile + warmup (forces execution via scalar readback)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(f(x))
-            ts.append(time.perf_counter() - t0)
-        results[n] = min(ts)
-    dt_iter = (results[n_hi] - results[n_lo]) / (n_hi - n_lo)
+    _, dt_iter = measure_throughput(apply_fn, x, n_lo=n_lo, n_hi=n_hi)
     return batch / dt_iter, dt_iter
 
 

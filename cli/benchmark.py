@@ -63,51 +63,33 @@ def main(argv=None):
     )
 
     if args.train:
-        import numpy as np
-        import optax
-
-        from progressive_process_for_human_pose_estimation_tpu.losses import (
-            ce_loss,
-        )
-        from progressive_process_for_human_pose_estimation_tpu.train import (
-            create_train_state,
+        from progressive_process_for_human_pose_estimation_tpu.bench.timing import (
+            measure_train_throughput,
         )
 
+        # The DCE-proof harness (full TrainState carried through the timing
+        # loop: fwd + bwd + Adam + BN-stat updates all stay live). An earlier
+        # inline step here dropped the batch_stats update, so XLA silently
+        # eliminated the BN EMA work from the measurement.
         model = build_model_from_args(args)  # train mode (batch stats update)
-        state = create_train_state(model, jax.random.PRNGKey(0), x)
-        map_size = args.input_size // 4
-        rng = np.random.default_rng(0)
+        ips, dt = measure_train_throughput(
+            model, batch=args.batch, size=args.input_size
+        )
+        out = {
+            "preset": args.preset,
+            "batch": args.batch,
+            "images_per_sec": round(ips, 1),
+            "sec_per_step": round(dt, 6),
+            "mode": "train (fwd+bwd+Adam+BN stats)",
+        }
+        if args.json:
+            print(json.dumps(out))
+        else:
+            for k, v in out.items():
+                print(f"{k}: {v}")
+        return out
 
-        def step_fn(xx):
-            # CE of every stack vs a fixed target: representative fwd+bwd+Adam.
-            target = jnp.zeros((args.batch, map_size, map_size), jnp.int32)
-
-            def loss_fn(params, batch_stats):
-                outs, upd = model.apply(
-                    {"params": params, "batch_stats": batch_stats}, xx,
-                    mutable=["batch_stats"],
-                )
-                if not isinstance(outs, (list, tuple)):
-                    outs = [outs]
-                return sum(ce_loss(o, target) for o in outs), upd
-
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.batch_stats
-            )
-            updates, _ = state.tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            # Reduce over EVERY updated parameter: returning a single leaf
-            # lets XLA dead-code-eliminate the other parameters' gradients
-            # and report a fictitious throughput (round-1's 425.8 img/s was
-            # exactly this artifact).
-            return jax.tree.reduce(
-                lambda acc, p: acc + jnp.sum(p.astype(jnp.float32)),
-                new_params,
-                jnp.float32(0),
-            ) + loss
-
-        apply_fn = step_fn
-    elif args.int8:
+    if args.int8:
         from progressive_process_for_human_pose_estimation_tpu.pallas_kernels.int8_fused import (
             build_int8_pallas_apply,
         )
@@ -140,9 +122,11 @@ def main(argv=None):
         "images_per_sec": round(ips, 1),
         "sec_per_batch": round(dt, 6),
     }
-    if args.latency and not args.train:
+    if args.latency:
+        # Measure the SAME executable the throughput number came from
+        # (apply_fn covers the plain / --fold / --int8 paths).
         x1 = x[:1]
-        lat_min, lat_mean = measure_latency(lambda xx: model.apply(variables, xx), x1)
+        lat_min, lat_mean = measure_latency(apply_fn, x1)
         out["latency_bs1_min_ms"] = round(lat_min * 1e3, 3)
         out["latency_bs1_mean_ms"] = round(lat_mean * 1e3, 3)
     if args.json:

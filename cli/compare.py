@@ -39,6 +39,7 @@ def main(argv=None):
     from progressive_process_for_human_pose_estimation_tpu.eval import (
         PCKH_THRESHOLDS,
         pckh_curve,
+        pckh_gauss_curve,
     )
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
     from progressive_process_for_human_pose_estimation_tpu.train import (
@@ -69,30 +70,50 @@ def main(argv=None):
         if load:
             state = restore_checkpoint(load, state)
 
-        @jax.jit
-        def eval_batch(params, batch_stats, images, target, rect, model=model,
-                       offset=offset):
-            outs = model.apply({"params": params, "batch_stats": batch_stats}, images)
-            if not isinstance(outs, (list, tuple)):
-                outs = [outs]
-            out = outs[-1].astype(jnp.float32)
-            # CE heads (offset=True) softmax and skip the background channel;
-            # Gauss/MSE heads (offset=False) score raw maps — cross-channel
-            # softmax would move per-channel argmaxes (the denominator varies
-            # per pixel), same semantics as cli.evaluate.scoring_mode.
-            hm = jax.nn.softmax(out, axis=-1) if offset else out
-            return pckh_curve(hm, target, rect, background_offset=offset).accuracy
+        if render_fn.kind == "lsp":
+            # LSP schema renders Gaussian targets only: score both models
+            # with the Gaussian-target curve (same as cli.evaluate's LSP
+            # path; head-neck standard).
+            @jax.jit
+            def eval_batch_lsp(params, batch_stats, images, gauss, model=model):
+                outs = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, images
+                )
+                if not isinstance(outs, (list, tuple)):
+                    outs = [outs]
+                return pckh_gauss_curve(outs[-1].astype(jnp.float32), gauss)
+
+        else:
+            @jax.jit
+            def eval_batch(params, batch_stats, images, target, rect, model=model,
+                           offset=offset):
+                outs = model.apply({"params": params, "batch_stats": batch_stats}, images)
+                if not isinstance(outs, (list, tuple)):
+                    outs = [outs]
+                out = outs[-1].astype(jnp.float32)
+                # CE heads (offset=True) softmax and skip the background
+                # channel; Gauss/MSE heads (offset=False) score raw maps —
+                # cross-channel softmax would move per-channel argmaxes (the
+                # denominator varies per pixel), same semantics as
+                # cli.evaluate.scoring_mode.
+                hm = jax.nn.softmax(out, axis=-1) if offset else out
+                return pckh_curve(hm, target, rect, background_offset=offset).accuracy
 
         curves = []
         for host in loader:
             rendered = dict(render_fn(jax.random.PRNGKey(0), host))
-            n = rendered["image"].shape[0]
-            rect = rendered.get(
-                "head_rect",
-                jnp.tile(jnp.asarray([0.0, 0.0, 16.0, 16.0]), (n, 1)),
-            )
-            acc = eval_batch(state.params, state.batch_stats, rendered["image"],
-                             rendered["keypoint_map"], rect)
+            if render_fn.kind == "lsp":
+                acc = eval_batch_lsp(state.params, state.batch_stats,
+                                     rendered["image"], rendered["gauss_maps"])
+            else:
+                n = rendered["image"].shape[0]
+                rect = rendered.get(
+                    "head_rect",
+                    jnp.tile(jnp.asarray([0.0, 0.0, 16.0, 16.0]), (n, 1)),
+                )
+                acc = eval_batch(state.params, state.batch_stats,
+                                 rendered["image"], rendered["keypoint_map"],
+                                 rect)
             curves.append(np.asarray(acc))
         results[tag] = np.nanmean(np.concatenate(curves, axis=0), axis=0)
 

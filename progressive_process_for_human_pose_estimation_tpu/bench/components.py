@@ -62,10 +62,14 @@ def time_fn(fn: Callable, *args, n_lo: int = 4, n_hi: int = 40, reps: int = 3):
         span = results[n_hi] - results[n_lo]
         if dt > 0 and span > 0.05:
             return dt
-        n_lo, n_hi = n_lo * 8, n_hi * 8
-        f_lo, f_hi = chained(n_lo), chained(n_hi)
-        float(f_lo(*args))
-        float(f_hi(*args))
+        if attempt < 3:
+            # Widen only when another attempt will actually run — the final
+            # failed attempt used to compile+warm 8x-wider loops (minutes of
+            # device time) whose results the raise below then discarded.
+            n_lo, n_hi = n_lo * 8, n_hi * 8
+            f_lo, f_hi = chained(n_lo), chained(n_hi)
+            float(f_lo(*args))
+            float(f_hi(*args))
     raise RuntimeError(
         f"time_fn: measurement span still below the jitter floor after 4 "
         f"widenings (dt={dt:.3e}s, span={span:.3e}s) — refusing to report a "

@@ -44,6 +44,25 @@ def _time_n(apply_fn, x, n: int, repeats: int) -> float:
     return best
 
 
+def _diff_span(time_n, n_lo: int, n_hi: int, widen: int = 3):
+    """Two-point differencing with an auto-widening guard: a span below the
+    tunnel's wall jitter produces a negative/absurd dt, so widen the loops
+    (x8) until the differenced span is positive and >= 50 ms, else raise —
+    never report a garbage rate (the round-1 negative-TFLOPs artifact)."""
+    for attempt in range(widen + 1):
+        t_lo = time_n(n_lo)
+        t_hi = time_n(n_hi)
+        span = t_hi - t_lo
+        if span > 0 and span >= 0.05:
+            return span / (n_hi - n_lo)
+        if attempt < widen:
+            n_lo, n_hi = n_lo * 8, n_hi * 8
+    raise RuntimeError(
+        f"differenced span {span * 1e3:.2f} ms at n_hi={n_hi} is below the "
+        "timing jitter floor; the workload is too fast/noisy to measure"
+    )
+
+
 def measure_throughput(
     apply_fn: Callable,
     x: jax.Array,
@@ -52,9 +71,7 @@ def measure_throughput(
     repeats: int = 3,
 ) -> Tuple[float, float]:
     """Returns (items_per_sec for x.shape[0] items per call, sec_per_call)."""
-    t_lo = _time_n(apply_fn, x, n_lo, repeats)
-    t_hi = _time_n(apply_fn, x, n_hi, repeats)
-    dt = (t_hi - t_lo) / (n_hi - n_lo)
+    dt = _diff_span(lambda n: _time_n(apply_fn, x, n, repeats), n_lo, n_hi)
     return x.shape[0] / dt, dt
 
 
@@ -102,8 +119,7 @@ def measure_train_throughput(
 
         return f
 
-    results = {}
-    for n in (n_lo, n_hi):
+    def time_n(n):
         f = chained(n)
         float(f(state, x))  # compile + warm
         best = float("inf")
@@ -111,17 +127,32 @@ def measure_train_throughput(
             t0 = time.perf_counter()
             float(f(state, x))
             best = min(best, time.perf_counter() - t0)
-        results[n] = best
-    dt = (results[n_hi] - results[n_lo]) / (n_hi - n_lo)
+        return best
+
+    dt = _diff_span(time_n, n_lo, n_hi)
     return batch / dt, dt
 
 
 def measure_latency(
     apply_fn: Callable, x: jax.Array, iters: int = 100, repeats: int = 3
 ) -> Tuple[float, float]:
-    """bs=1 latency (min, mean) over ``iters`` on-device iterations — the
-    reference's 100-forward loop, measured without tunnel artifacts."""
-    t = _time_n(apply_fn, x, iters, repeats)
-    t1 = _time_n(apply_fn, x, 1, repeats)
-    per_iter = (t - t1) / (iters - 1)
-    return per_iter, t / iters
+    """bs=1 latency (best, mean) over ``iters`` on-device iterations — the
+    reference's 100-forward loop. Both numbers are differenced per-iteration
+    estimates (the per-call dispatch overhead the tunnel adds cannot be
+    attributed to the model): 'best' is computed from min-of-repeats
+    timings, 'mean' from mean-of-repeats — so mean-best spread reflects
+    wall-clock noise across trials, not per-call overhead."""
+    best_ts, mean_ts = [], []
+    for n in (1, iters):
+        f = _chained(apply_fn, n)
+        float(f(x))  # compile + warmup
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(f(x))
+            ts.append(time.perf_counter() - t0)
+        best_ts.append(min(ts))
+        mean_ts.append(sum(ts) / len(ts))
+    per_iter_best = (best_ts[1] - best_ts[0]) / (iters - 1)
+    per_iter_mean = (mean_ts[1] - mean_ts[0]) / (iters - 1)
+    return per_iter_best, per_iter_mean

@@ -137,6 +137,11 @@ def lite_residual_pallas(x: jax.Array, fp: Dict, interpret: bool = False) -> jax
     # Row-chunked processing keeps fp32 intermediates small: only the padded
     # mid activations (hpad) persist at full spatial extent in VMEM.
     chunk = min(16, h)
+    if h % chunk != 0:
+        # Phase 2 writes n_chunks*chunk rows; a non-dividing chunk would
+        # leave the tail rows uninitialized (same guard as the proj/int8
+        # variants).
+        chunk = next(c for c in range(chunk, 0, -1) if h % c == 0)
     n_chunks = h // chunk
 
     def kernel(x_ref, a0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -222,10 +227,19 @@ def _lite_residual_pallas_proj(
     m = fp["w1"].shape[1]
     cout = fp["w3"].shape[1]
 
-    # Pick panels so (x + 2*out_panel + hpad) stays well under VMEM.
+    # Pick panels so (x + 2*out_panel + hpad) stays well under VMEM. The
+    # input term is constant (every panel loads the full image block), so if
+    # IT alone busts the budget no panel count can help — raise instead of
+    # spinning.
+    if 2 * h * w * cin * 2 > 12 * 2**20:
+        raise ValueError(
+            f"input block {h}x{w}x{cin} alone exceeds the VMEM budget; "
+            "this spatial size must use the XLA path"
+        )
     n_panels = 1
     while (2 * h * w * cin + 4 * (h // n_panels) * w * cout
-           + (h // n_panels + 2) * (w + 2) * m) * 2 > 12 * 2**20:
+           + (h // n_panels + 2) * (w + 2) * m) * 2 > 12 * 2**20 \
+            and n_panels < h:
         n_panels *= 2
     ph = h // n_panels  # panel height
     if h % n_panels != 0:
