@@ -95,3 +95,31 @@ class TestFusedKernels:
                 np.asarray(b, np.float32), np.asarray(a, np.float32),
                 rtol=0.1, atol=0.05,  # fast path computes in bf16
             )
+
+
+class TestDiffSpanGuard:
+    """_diff_span must widen through sub-jitter spans and refuse to report
+    garbage when widening cannot help."""
+
+    def test_widens_until_measurable(self):
+        from progressive_process_for_human_pose_estimation_tpu.bench.timing import (
+            _diff_span,
+        )
+
+        per_iter = 1e-3  # 1 ms/iter: n_hi=12 span is 10 ms < 50 ms floor
+
+        def fake_time_n(n):
+            return 0.03 + per_iter * n  # fixed overhead + linear cost
+
+        dt = _diff_span(fake_time_n, 2, 12)
+        assert abs(dt - per_iter) / per_iter < 1e-6
+
+    def test_raises_on_jitter_floor(self):
+        import pytest
+
+        from progressive_process_for_human_pose_estimation_tpu.bench.timing import (
+            _diff_span,
+        )
+
+        with pytest.raises(RuntimeError, match="jitter floor"):
+            _diff_span(lambda n: 0.03, 2, 12)  # constant: span always 0
