@@ -123,6 +123,8 @@ def resolve_experiment(args):
     fill("batch_size", cfg.batch_size if cfg else None, 8)
     fill("objective", cfg.objective if cfg else None, "progressive")
     fill("lr", cfg.learning_rate if cfg else None, 1e-4)
+    if hasattr(args, "adam_eps"):
+        fill("adam_eps", cfg.adam_eps if cfg else None, 1e-4)
     fill("epochs", cfg.epochs if cfg else None, 300)
     fill("input_size", cfg.input_size if cfg else None, 256)
     if cfg is not None and not cfg.augment and hasattr(args, "no_augment"):

@@ -44,6 +44,10 @@ def parse_args(argv=None):
                    help="objective name (see train.objectives.OBJECTIVES)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--adam-eps", type=float, default=None,
+                   help="Adam epsilon (default: the experiment's value — "
+                        "1e-4 for the train.py/hourglass_compare presets, "
+                        "torch's 1e-8 for the try_*-derived ones)")
     p.add_argument("--save", default=None, help="checkpoint path (per-epoch save)")
     p.add_argument("--save-every", type=int, default=1,
                    help="checkpoint every N epochs (the final epoch is always "
@@ -126,7 +130,8 @@ def main(argv=None):
     model = build_model_from_args(args)
     check_heads_match_renderer(model, render_fn, args.preset, args.objective)
     sample = jnp.zeros((args.batch_size, size, size, 3))
-    state = create_train_state(model, jax.random.PRNGKey(args.seed), sample, args.lr)
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), sample,
+                               args.lr, eps=args.adam_eps)
     if args.load:
         state = maybe_resume(args.load, state, retrain=args.retrain,
                              fine_tune=args.fine_tune)
@@ -188,6 +193,7 @@ def main(argv=None):
             key=key,
             image_every=args.image_every if args.logdir else 0,
             image_fn=image_fn,
+            step_offset=steps_per_epoch * epoch,
         )
         if args.save and ((epoch + 1) % args.save_every == 0
                           or epoch + 1 == args.epochs):

@@ -23,6 +23,13 @@ class ExperimentConfig:
     learning_rate: float = 1e-4   # train.py:54
     epochs: int = 300             # train.py:49
     augment: bool = True
+    # Adam epsilon. Only train.py:834 and hourglass_compare.py:885 pass the
+    # unusual eps=1e-4; every try_* script uses torch.optim.Adam's default
+    # 1e-8 (e.g. try_skeleton_and_keypoints.py:407, try_costomer_loss.py:357).
+    # eps=1e-4 caps the effective per-parameter step at lr*g/1e-4 once
+    # |grad| < 1e-4, which stalls small-gradient training — so applying it
+    # to the try_*-derived presets is both unfaithful and harmful.
+    adam_eps: float = 1e-8
     notes: str = ""
 
 
@@ -104,6 +111,7 @@ EXPERIMENTS = {
         model_preset="progressive_mpii",
         objective="progressive",
         dataset="mpii",
+        adam_eps=1e-4,  # train.py:834
         notes="annealed OHEM-CE + CE on skeleton/keypoint stages "
               "(background stage unsupervised, as in train.py:886-890)",
     ),
@@ -113,6 +121,7 @@ EXPERIMENTS = {
         model_preset="classic_baseline",
         objective="classic_mse",
         dataset="mpii",
+        adam_eps=1e-4,  # hourglass_compare.py:885
         notes="4-stack Newell baseline, per-stack MSE on Gaussian maps",
     ),
     # The first true progressive 3-stage model (try_different_stack.py).

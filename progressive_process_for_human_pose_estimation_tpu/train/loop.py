@@ -124,6 +124,7 @@ def fit_epoch(
     key=None,
     image_every: int = 0,
     image_fn: Optional[Callable] = None,
+    step_offset: int = 0,
 ):
     """Run one epoch over an iterable of host batches — THE train loop
     (cli.train consumes this; there is no second copy).
@@ -131,6 +132,13 @@ def fit_epoch(
     Mirrors the reference loop cadence (/root/reference/train.py:874-956):
     metrics every ``log_every`` steps; rendered prediction grids every
     ``image_every`` steps via ``image_fn(i, state, batch)``.
+
+    ``step_offset`` is the global step count before this epoch; the log/image
+    cadence is measured on the GLOBAL step, not the within-epoch index. (At
+    the reference's thousands of steps per epoch the two are indistinguishable;
+    at demo scale — 2 steps/epoch — the within-epoch rule fired at i=0 every
+    epoch, and the blocking ``device_get`` readback per epoch serialized the
+    remote-TPU tunnel: every epoch paid a full RTT with the chip idle.)
 
     ``render_fn(key, host_batch) -> device batch`` moves target rendering
     (Gaussians/class maps/augmentation) on device per batch; ``key`` is the
@@ -144,9 +152,10 @@ def fit_epoch(
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch)
-        if log_fn is not None and i % log_every == 0:
+        if log_fn is not None and (step_offset + i) % log_every == 0:
             log_fn(i, jax.device_get(metrics))
-        if image_fn is not None and image_every > 0 and i % image_every == 0:
+        if image_fn is not None and image_every > 0 \
+                and (step_offset + i) % image_every == 0:
             image_fn(i, state, batch)
     state = state.replace(epoch=state.epoch + 1)
     return state, metrics, key

@@ -46,9 +46,41 @@ def test_experiment_one_step(name):
 
     batch = render_batch(cfg.dataset)
     state = create_train_state(
-        model, jax.random.PRNGKey(0), batch["image"], cfg.learning_rate
+        model, jax.random.PRNGKey(0), batch["image"], cfg.learning_rate,
+        eps=cfg.adam_eps,
     )
     step = make_train_step(model, objective, donate=False)
     new_state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_adam_eps_provenance():
+    """Only the train.py / hourglass_compare.py presets use eps=1e-4
+    (train.py:834, hourglass_compare.py:885); every try_*-derived preset
+    uses torch.optim.Adam's default 1e-8 (try_skeleton_and_keypoints.py:407,
+    try_costomer_loss.py:357, ...). eps=1e-4 stalls small-gradient training,
+    so leaking it into the try_* presets is a convergence bug, not a nit."""
+    big_eps = {"progressive_mpii_final", "classic_baseline"}
+    for name, cfg in EXPERIMENTS.items():
+        expected = 1e-4 if name in big_eps else 1e-8
+        assert cfg.adam_eps == expected, (name, cfg.adam_eps)
+
+
+def test_resolve_experiment_fills_adam_eps():
+    import argparse
+
+    from cli.common import resolve_experiment
+
+    args = argparse.Namespace(experiment="hourglass8_skeleton", adam_eps=None)
+    resolve_experiment(args)
+    assert args.adam_eps == 1e-8
+
+    args = argparse.Namespace(experiment="classic_baseline", adam_eps=None)
+    resolve_experiment(args)
+    assert args.adam_eps == 1e-4
+
+    # explicit flag wins
+    args = argparse.Namespace(experiment="classic_baseline", adam_eps=3e-7)
+    resolve_experiment(args)
+    assert args.adam_eps == 3e-7

@@ -219,3 +219,27 @@ class TestDonationGate:
         )
 
         assert donation_supported() is True
+
+
+class TestLogCadence:
+    def test_fit_epoch_logs_on_global_step(self, rng):
+        """The log/readback cadence is measured on the GLOBAL step: at 2
+        steps/epoch with log_every=4 the callback fires every other epoch,
+        not at i=0 of every epoch (the old within-epoch rule forced one
+        blocking device_get per epoch, serializing the remote-TPU tunnel)."""
+        from progressive_process_for_human_pose_estimation_tpu.train import fit_epoch
+
+        model = tiny_model()
+        batch = tiny_batch(rng)
+        state = create_train_state(model, jax.random.PRNGKey(0), batch["image"])
+        step = make_train_step(model, progressive_objective, donate=False)
+
+        fired = []
+        key = jax.random.PRNGKey(0)
+        for epoch in range(4):
+            state, _, key = fit_epoch(
+                step, state, [batch, batch], log_every=4,
+                log_fn=lambda i, m, e=epoch: fired.append(2 * e + i),
+                key=key, step_offset=2 * epoch,
+            )
+        assert fired == [0, 4]
