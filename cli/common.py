@@ -44,6 +44,33 @@ def add_model_args(p: argparse.ArgumentParser):
                         "compiled code — see ROUND3_NOTES)")
 
 
+def add_eval_bn_arg(p: argparse.ArgumentParser):
+    p.add_argument("--eval-bn", default=None, choices=["batch", "running"],
+                   help="test-time BatchNorm mode: 'batch' = current-batch "
+                        "statistics (the try_* scripts never call .eval(); "
+                        "required for their weight-shared-BN models), "
+                        "'running' = EMA averages (.eval(), train.py:991). "
+                        "Default: the --experiment's recorded behavior, else "
+                        "'running'")
+
+
+def make_eval_apply(model, batch_mode: bool):
+    """Forward function for evaluation honoring the BN mode: in batch mode
+    the model was built with ``use_running_average=False`` so flax requires
+    ``mutable=['batch_stats']`` — the EMA updates are computed and DISCARDED
+    (torch train-mode inference also updates its EMAs; they just never get
+    read back). Returns ``apply(variables, x) -> outputs-list``."""
+
+    def apply(variables, x):
+        if batch_mode:
+            outs, _ = model.apply(variables, x, mutable=["batch_stats"])
+        else:
+            outs = model.apply(variables, x)
+        return outs if isinstance(outs, (list, tuple)) else [outs]
+
+    return apply
+
+
 def build_model_from_args(args, **extra):
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
     from progressive_process_for_human_pose_estimation_tpu.utils.precision import (
@@ -125,6 +152,17 @@ def resolve_experiment(args):
     fill("lr", cfg.learning_rate if cfg else None, 1e-4)
     if hasattr(args, "adam_eps"):
         fill("adam_eps", cfg.adam_eps if cfg else None, 1e-4)
+    if hasattr(args, "eval_bn"):
+        # 'batch' = test-time BN on current-batch statistics (the try_*
+        # scripts never call .eval(), so torch train-mode BN is their test
+        # behavior — config.ExperimentConfig.eval_batch_stats); 'running' =
+        # EMA stats (.eval(), train.py:991). Without --experiment the
+        # default is 'running', matching the final scripts.
+        fill(
+            "eval_bn",
+            ("batch" if cfg.eval_batch_stats else "running") if cfg else None,
+            "running",
+        )
     fill("epochs", cfg.epochs if cfg else None, 300)
     fill("input_size", cfg.input_size if cfg else None, 256)
     if cfg is not None and not cfg.augment and hasattr(args, "no_augment"):

@@ -13,7 +13,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import add_data_args, build_loader_from_args, resolve_experiment
+from .common import (
+    add_data_args,
+    add_eval_bn_arg,
+    build_loader_from_args,
+    make_eval_apply,
+    resolve_experiment,
+)
 
 
 def parse_args(argv=None):
@@ -27,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--hourglass-depth", type=int, default=None)
     p.add_argument("--input-size", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    # performance_compare.py:619-620 .eval()s BOTH models, so 'running' is
+    # the faithful default here even for try_*-derived presets; pass
+    # --eval-bn batch when comparing models trained/evaluated train-mode.
+    add_eval_bn_arg(p)
     args = p.parse_args(argv)
     resolve_experiment(args)
     return args
@@ -52,8 +62,9 @@ def main(argv=None):
     render_fn = make_render_fn(manifest, inputsize=size, augment=False)
     loader.staging_size = render_fn.staging_size
 
+    batch_bn = args.eval_bn == "batch"
     kw = dict(dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-              use_running_average=True)
+              use_running_average=not batch_bn)
     if args.features:
         kw["features"] = args.features
     if args.hourglass_depth:
@@ -69,27 +80,25 @@ def main(argv=None):
         state = create_train_state(model, jax.random.PRNGKey(0), sample)
         if load:
             state = restore_checkpoint(load, state)
+        apply_fn = make_eval_apply(model, batch_bn)
 
         if render_fn.kind == "lsp":
             # LSP schema renders Gaussian targets only: score both models
             # with the Gaussian-target curve (same as cli.evaluate's LSP
             # path; head-neck standard).
             @jax.jit
-            def eval_batch_lsp(params, batch_stats, images, gauss, model=model):
-                outs = model.apply(
+            def eval_batch_lsp(params, batch_stats, images, gauss,
+                               apply_fn=apply_fn):
+                outs = apply_fn(
                     {"params": params, "batch_stats": batch_stats}, images
                 )
-                if not isinstance(outs, (list, tuple)):
-                    outs = [outs]
                 return pckh_gauss_curve(outs[-1].astype(jnp.float32), gauss)
 
         else:
             @jax.jit
-            def eval_batch(params, batch_stats, images, target, rect, model=model,
-                           offset=offset):
-                outs = model.apply({"params": params, "batch_stats": batch_stats}, images)
-                if not isinstance(outs, (list, tuple)):
-                    outs = [outs]
+            def eval_batch(params, batch_stats, images, target, rect,
+                           apply_fn=apply_fn, offset=offset):
+                outs = apply_fn({"params": params, "batch_stats": batch_stats}, images)
                 out = outs[-1].astype(jnp.float32)
                 # CE heads (offset=True) softmax and skip the background
                 # channel; Gauss/MSE heads (offset=False) score raw maps —

@@ -20,10 +20,12 @@ import numpy as np
 
 from .common import (
     add_data_args,
+    add_eval_bn_arg,
     add_model_args,
     build_loader_from_args,
     build_model_from_args,
     check_heads_match_renderer,
+    make_eval_apply,
     resolve_experiment,
 )
 
@@ -49,6 +51,7 @@ def parse_args(argv=None):
                         "requires --stage -1")
     p.add_argument("--plot", default=None, help="save detection-rate curve PNG")
     p.add_argument("--input-size", type=int, default=None)
+    add_eval_bn_arg(p)
     args = p.parse_args(argv)
     resolve_experiment(args)
     return args
@@ -95,23 +98,31 @@ def main(argv=None):
     render_fn = make_render_fn(manifest, inputsize=size, augment=False)
     loader.staging_size = render_fn.staging_size
 
+    batch_bn = args.eval_bn == "batch"
     extra = {}
     if args.fold:
         if args.stage != -1:
             raise SystemExit("--fold produces only the final stage's output; "
                              "it cannot be combined with --stage != -1")
+        if batch_bn:
+            raise SystemExit(
+                "--fold folds the running BN statistics into the tail matmul "
+                "and cannot evaluate with batch statistics; pass "
+                "--eval-bn running (note the try_*-derived experiments "
+                "record batch-stat eval as their faithful mode)")
         extra["fold_tail"] = True
-    model = build_model_from_args(args, use_running_average=True, **extra)
+    model = build_model_from_args(
+        args, use_running_average=not batch_bn, **extra
+    )
     check_heads_match_renderer(model, render_fn, args.preset)
     sample = jnp.zeros((args.batch_size, size, size, 3))
     state = create_train_state(model, jax.random.PRNGKey(0), sample)
     if args.load:
         state = restore_checkpoint(args.load, state)
+    apply_fn = make_eval_apply(model, batch_bn)
 
     def outputs_of(params, batch_stats, images):
-        outs = model.apply({"params": params, "batch_stats": batch_stats}, images)
-        if not isinstance(outs, (list, tuple)):
-            outs = [outs]
+        outs = apply_fn({"params": params, "batch_stats": batch_stats}, images)
         return outs[args.stage].astype(jnp.float32)
 
     if render_fn.kind == "lsp":

@@ -13,7 +13,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import add_model_args, build_model_from_args, resolve_experiment
+from .common import (
+    add_eval_bn_arg,
+    add_model_args,
+    build_model_from_args,
+    make_eval_apply,
+    resolve_experiment,
+)
 
 
 def parse_args(argv=None):
@@ -34,6 +40,7 @@ def parse_args(argv=None):
     p.add_argument("--mask-load", default=None,
                    help="MaskNet checkpoint for --mask-gate (untrained "
                         "MaskNet weights otherwise)")
+    add_eval_bn_arg(p)
     args = p.parse_args(argv)
     resolve_experiment(args)
     return args
@@ -71,7 +78,9 @@ def main(argv=None):
         m = synthetic_coco_manifest(n_images=1, img_size=size, seed=1)
         img = synthetic_image(m["keypoints"][0], img_size=size, seed=1)
 
-    model = build_model_from_args(args, use_running_average=True)
+    batch_bn = args.eval_bn == "batch"
+    model = build_model_from_args(args, use_running_average=not batch_bn)
+    apply_fn = make_eval_apply(model, batch_bn)
     x = jnp.asarray(img)[None]
     state = create_train_state(model, jax.random.PRNGKey(0), x)
     if args.load:
@@ -91,20 +100,18 @@ def main(argv=None):
         margs = copy.copy(args)
         margs.preset = "masknet"
         margs.out_channels = None
-        masknet = build_model_from_args(margs, use_running_average=True)
+        masknet = build_model_from_args(margs, use_running_average=not batch_bn)
         mstate = create_train_state(masknet, jax.random.PRNGKey(0), x)
         if args.mask_load:
             mstate = restore_checkpoint(args.mask_load, mstate)
-        mask = masknet.apply(
+        mask = make_eval_apply(masknet, batch_bn)(
             {"params": mstate.params, "batch_stats": mstate.batch_stats}, x
-        )
+        )[0]
         gate = jnp.argmax(mask.astype(jnp.float32), axis=-1)  # (1, S/4, S/4)
         gate = jnp.repeat(jnp.repeat(gate, 4, axis=1), 4, axis=2)
         x = x * gate[..., None].astype(x.dtype)
 
-    outs = model.apply({"params": state.params, "batch_stats": state.batch_stats}, x)
-    if not isinstance(outs, (list, tuple)):
-        outs = [outs]
+    outs = apply_fn({"params": state.params, "batch_stats": state.batch_stats}, x)
     raw_final = outs[-1].astype(jnp.float32)
     outs = [jax.nn.softmax(o.astype(jnp.float32), axis=-1) for o in outs]
 

@@ -30,6 +30,18 @@ class ExperimentConfig:
     # |grad| < 1e-4, which stalls small-gradient training — so applying it
     # to the try_*-derived presets is both unfaithful and harmful.
     adam_eps: float = 1e-8
+    # Test-time BatchNorm mode. Only train.py:991, hourglass_compare.py:1044
+    # and performance_compare.py:619-620 call .eval() before inference; NO
+    # try_* script does (verified: `grep -n '.eval()' /root/reference/*.py`),
+    # so their test branches run torch modules in train mode — BN normalizes
+    # by the CURRENT batch statistics. That is load-bearing for the try_*
+    # models because they share one BN instance across stacks
+    # (only_one_hourgless.py:224-253): a single running-stat EMA averaged
+    # over 8 stacks' different feature distributions normalizes none of them
+    # correctly (measured: hourglass8_skeleton converged to train-BN loss
+    # 1.66 but eval-BN loss 6.8 and PCKh 0%). True = evaluate with batch
+    # stats (the try_* behavior); False = running averages (.eval()).
+    eval_batch_stats: bool = True
     notes: str = ""
 
 
@@ -112,6 +124,7 @@ EXPERIMENTS = {
         objective="progressive",
         dataset="mpii",
         adam_eps=1e-4,  # train.py:834
+        eval_batch_stats=False,  # train.py:991 calls .eval()
         notes="annealed OHEM-CE + CE on skeleton/keypoint stages "
               "(background stage unsupervised, as in train.py:886-890)",
     ),
@@ -122,6 +135,7 @@ EXPERIMENTS = {
         objective="classic_mse",
         dataset="mpii",
         adam_eps=1e-4,  # hourglass_compare.py:885
+        eval_batch_stats=False,  # hourglass_compare.py:1044 calls .eval()
         notes="4-stack Newell baseline, per-stack MSE on Gaussian maps",
     ),
     # The first true progressive 3-stage model (try_different_stack.py).

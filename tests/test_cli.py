@@ -273,3 +273,96 @@ class TestEvalScoringMode:
         for exp in ("progressive_2stage", "with_aspp", "more_layer"):
             args = self._args(["--experiment", exp])
             assert scoring_mode(args) == (True, False), exp
+
+
+class TestEvalBNMode:
+    """Test-time BatchNorm provenance: only train.py:991 /
+    hourglass_compare.py:1044 / performance_compare.py:619-620 call .eval();
+    every try_* script's test branch runs torch modules in TRAIN mode, i.e.
+    BN normalizes by current-batch statistics. For the weight-shared-BN
+    try_* models this is load-bearing: one running-stat EMA averaged over 8
+    stacks' different feature distributions normalizes none of them
+    (measured on chip: hourglass8_skeleton at train-BN loss 1.66 scored
+    PCKh 0% under running-stat eval)."""
+
+    def test_provenance_and_resolution(self):
+        import argparse
+
+        from cli.common import resolve_experiment
+        from progressive_process_for_human_pose_estimation_tpu.config import (
+            EXPERIMENTS,
+        )
+
+        eval_calls = {"progressive_mpii_final", "classic_baseline"}
+        for name, cfg in EXPERIMENTS.items():
+            assert cfg.eval_batch_stats == (name not in eval_calls), name
+
+        args = argparse.Namespace(experiment="hourglass8_skeleton", eval_bn=None)
+        resolve_experiment(args)
+        assert args.eval_bn == "batch"
+
+        args = argparse.Namespace(experiment="classic_baseline", eval_bn=None)
+        resolve_experiment(args)
+        assert args.eval_bn == "running"
+
+        # explicit flag wins; no experiment defaults to 'running' (.eval())
+        args = argparse.Namespace(experiment="hourglass8_skeleton",
+                                  eval_bn="running")
+        resolve_experiment(args)
+        assert args.eval_bn == "running"
+        args = argparse.Namespace(eval_bn=None)
+        resolve_experiment(args)
+        assert args.eval_bn == "running"
+
+    def test_batch_mode_differs_from_running_after_stat_drift(self):
+        import jax
+        import jax.numpy as jnp
+
+        from cli.common import make_eval_apply
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            build_model,
+        )
+
+        kw = dict(features=8, hourglass_depth=1, dtype=jnp.float32)
+        m_train = build_model("hourglass8_skeleton",
+                              use_running_average=False, **kw)
+        m_eval = build_model("hourglass8_skeleton",
+                             use_running_average=True, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        variables = m_train.init(jax.random.PRNGKey(1), x)
+        # Drift the EMAs with a shifted input distribution (stands in for
+        # the per-stack distribution mismatch a shared BN accumulates).
+        _, mut = m_train.apply(variables, x * 3.0 + 1.0,
+                               mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
+
+        out_batch = make_eval_apply(m_train, True)(variables, x)[-1]
+        out_running = make_eval_apply(m_eval, False)(variables, x)[-1]
+        # batch mode is exactly a train-mode forward (EMA updates discarded)
+        out_train_fwd, _ = m_train.apply(variables, x, mutable=["batch_stats"])
+        assert np.array_equal(np.asarray(out_batch),
+                              np.asarray(out_train_fwd[-1]))
+        # and genuinely disagrees with running-stat eval after drift
+        assert not np.allclose(np.asarray(out_batch),
+                               np.asarray(out_running), atol=1e-3)
+
+    def test_cli_train_then_batch_eval(self, tmp_path):
+        """--experiment hourglass8_skeleton resolves eval_bn='batch' end to
+        end; --fold refuses batch mode loudly."""
+        from cli import evaluate, train
+
+        common = [
+            "--experiment", "hourglass8_skeleton",
+            "--features", "8", "--hourglass-depth", "1",
+            "--dtype", "float32", "--input-size", "64",
+            "--batch-size", "4", "--n-synthetic", "4",
+            "--dataset", "synthetic",
+        ]
+        ckpt = str(tmp_path / "ckpt")
+        train.main(common + ["--epochs", "1", "--save", ckpt])
+        curve = evaluate.main(common + ["--load", ckpt])
+        assert curve.shape == (11,)
+
+        with pytest.raises(SystemExit, match="--eval-bn running"):
+            evaluate.main(common + ["--load", ckpt, "--fold"])
