@@ -66,6 +66,13 @@ def parse_args(argv=None):
 GAUSS_FINAL_OBJECTIVES = {"classic_mse", "progressive_2stage",
                           "progressive_ce_ce_mse", "ohem_ce_ce_mse", "masked"}
 
+# Split-channel models concatenate TWO independent CE blocks in one head
+# (channels [:18] = bg+17 keypoints, [18:] = bg+19 skeleton,
+# try_skeleton_and_keypoints.py:423-435). PCKh reads joints from the keypoint
+# block, and the softmax must span only that block — normalizing across both
+# blocks mixes two unrelated distributions and shifts per-channel argmaxes.
+KP_BLOCK_OBJECTIVES = {"split_channel": 18}
+
 
 def scoring_mode(args):
     """(gauss_head, background_offset) for the non-LSP PCKh path. Gauss/MSE
@@ -142,10 +149,13 @@ def main(argv=None):
         # softmax would also distort per-channel argmax locations (the
         # denominator varies per pixel), so it applies only to CE heads.
         gauss_head, offset = scoring_mode(args)
+        kp_block = KP_BLOCK_OBJECTIVES.get(getattr(args, "objective", None))
 
         @jax.jit
         def eval_batch(params, batch_stats, batch):
             out = outputs_of(params, batch_stats, batch["image"])
+            if kp_block is not None:
+                out = out[..., :kp_block]
             hm = out if gauss_head else jax.nn.softmax(out, axis=-1)
             res = pckh_curve(hm, batch["keypoint_map"], batch["head_rect"],
                              background_offset=offset)

@@ -155,6 +155,40 @@ class TestExport:
         import os
         assert os.path.getsize(out) > 1000
 
+    def test_export_batch_bn(self, tmp_path):
+        """--experiment hourglass8_skeleton exports a batch-stat-BN graph
+        (the try_* test-branch behavior): the artifact's output depends on
+        the batch composition, and --fold refuses batch mode."""
+        import numpy as np
+        import pytest
+        from jax import export as jax_export
+
+        from cli import export as export_cli
+
+        out = str(tmp_path / "mb.jaxexport")
+        export_cli.main([
+            "--experiment", "hourglass8_skeleton", "--features", "8",
+            "--hourglass-depth", "1", "--dtype", "float32",
+            "--batch", "2", "--input-size", "32", "--out", out, "--check",
+        ])
+        with open(out, "rb") as f:
+            served = jax_export.deserialize(f.read())
+        rng = np.random.RandomState(0)
+        a = rng.rand(2, 32, 32, 3).astype(np.float32)
+        b = a.copy()
+        b[1] += 1.0  # changing sample 1 shifts the batch statistics...
+        ya = np.asarray(served.call(a)[-1])
+        yb = np.asarray(served.call(b)[-1])
+        # ...which moves sample 0's output too (running-stat graphs cannot)
+        assert not np.allclose(ya[0], yb[0], atol=1e-5)
+
+        with pytest.raises(SystemExit, match="--eval-bn running"):
+            export_cli.main([
+                "--experiment", "hourglass8_skeleton", "--features", "8",
+                "--hourglass-depth", "1", "--dtype", "float32", "--fold",
+                "--batch", "2", "--input-size", "32", "--out", out,
+            ])
+
 
 class TestHeadValidation:
     def test_preset_dataset_mismatch_rejected(self):
@@ -366,3 +400,47 @@ class TestEvalBNMode:
 
         with pytest.raises(SystemExit, match="--eval-bn running"):
             evaluate.main(common + ["--load", ckpt, "--fold"])
+
+
+class TestSplitChannelScoring:
+    def test_kp_block_softmax_scope(self):
+        """38-ch split-channel outputs score PCKh from a softmax over ONLY
+        the keypoint CE block [:18]: a large skeleton logit elsewhere must
+        not move a keypoint channel's spatial argmax (it does under a
+        cross-block softmax, whose denominator varies per pixel)."""
+        import jax
+        import jax.numpy as jnp
+
+        from cli.evaluate import KP_BLOCK_OBJECTIVES, parse_args
+        from progressive_process_for_human_pose_estimation_tpu.eval import (
+            pckh_curve,
+        )
+
+        args = parse_args(["--experiment", "hourglass8_skeleton",
+                           "--dataset", "synthetic"])
+        assert KP_BLOCK_OBJECTIVES.get(args.objective) == 18
+
+        h = w = 8
+        out = jnp.zeros((1, h, w, 38))
+        # keypoint 0 (channel 1) peaks at (2, 2) with a modest logit
+        out = out.at[0, 2, 2, 1].set(3.0)
+        # a HUGE skeleton logit at (5, 5) craters the full-38 softmax there
+        # except at (5,5) itself where channel 1's small share of a huge
+        # denominator... and a second modest kp logit at (5,5) that the
+        # suppressed denominator would otherwise promote
+        out = out.at[0, 5, 5, 1].set(3.5)
+        out = out.at[0, 5, 5, 30].set(20.0)
+        tgt = jnp.zeros((1, h, w), jnp.int32).at[0, 2, 2].set(1)
+        rect = jnp.asarray([[0.0, 0.0, 4.0, 4.0]])
+
+        block = jax.nn.softmax(out[..., :18], axis=-1)
+        full = jax.nn.softmax(out, axis=-1)
+        acc_block = pckh_curve(block, tgt, rect).accuracy
+        acc_full = pckh_curve(full, tgt, rect).accuracy
+        # block-scope scoring finds the true (5,5)>(2,2)? no: argmax of
+        # channel 1 under block softmax is (5,5) -- both are kp logits and
+        # 3.5 > 3.0, a genuine miss; under FULL softmax the huge skeleton
+        # logit suppresses (5,5) and flips the argmax to (2,2), scoring a
+        # spurious hit. The assertion pins the scopes apart.
+        assert float(acc_block[0, -1]) == 0.0
+        assert float(acc_full[0, -1]) == 1.0
