@@ -10,7 +10,13 @@ import json
 import jax
 import jax.numpy as jnp
 
-from .common import add_model_args, build_model_from_args, resolve_experiment
+from .common import (
+    add_eval_bn_arg,
+    add_model_args,
+    build_model_from_args,
+    make_eval_apply,
+    resolve_experiment,
+)
 
 
 def parse_args(argv=None):
@@ -34,6 +40,10 @@ def parse_args(argv=None):
                         "matmul (exact math on the final output; see "
                         "models/recursive.py fold_tail)")
     p.add_argument("--json", action="store_true", help="print one JSON line")
+    p.add_argument("--experiment", default=None,
+                   help="config.EXPERIMENTS preset (explicit flags override); "
+                        "also resolves the faithful --eval-bn mode")
+    add_eval_bn_arg(p)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace (xplane, for TensorBoard "
                         "or xprof) of the timed region to this directory. "
@@ -46,6 +56,17 @@ def parse_args(argv=None):
     if args.train and args.int8:
         p.error("--train and --int8 are mutually exclusive modes")
     resolve_experiment(args)
+    # After resolution, so an --experiment-resolved 'batch' mode is caught
+    # too; --train/--int8/--fold keep their historical running-stat graphs
+    # (pass --eval-bn running explicitly to combine them with an experiment
+    # whose faithful eval mode is 'batch').
+    if args.eval_bn == "batch" and (args.fold or args.int8 or args.train):
+        if args.train:
+            args.eval_bn = "running"  # train mode measures batch stats anyway
+        else:
+            p.error("--eval-bn batch measures the plain batch-stat inference "
+                    "graph; it cannot be combined with --fold/--int8 "
+                    "(pass --eval-bn running)")
     return args
 
 
@@ -102,10 +123,17 @@ def main(argv=None):
         scales = calibrate(model, variables, x)
         apply_fn = build_int8_pallas_apply(model, variables, scales)
     else:
+        # --eval-bn batch: the try_* scripts' test-time mode (BN on current
+        # batch statistics, EMA updates discarded) — measures what their
+        # faithful eval actually costs vs the running-stat serving graph.
+        batch_bn = args.eval_bn == "batch"
         extra = {"fold_tail": True} if args.fold else {}
-        model = build_model_from_args(args, use_running_average=True, **extra)
+        model = build_model_from_args(
+            args, use_running_average=not batch_bn, **extra
+        )
         variables = model.init(jax.random.PRNGKey(0), x)
-        apply_fn = lambda xx: model.apply(variables, xx)
+        raw_apply = make_eval_apply(model, batch_bn)
+        apply_fn = lambda xx: raw_apply(variables, xx)
 
     if args.profile_dir:
         # SURVEY.md §5: first-class tracing. One traced warm iteration after

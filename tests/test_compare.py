@@ -115,3 +115,29 @@ class TestBenchmarkSmoke:
              "--input-size", "32", "--batch", "2", "--train", "--json"]
         )
         assert out["images_per_sec"] > 0
+
+
+class TestBenchmarkEvalBN:
+    def test_batch_bn_inference(self):
+        """--experiment hourglass8_skeleton benchmarks the batch-stat-BN
+        graph (its faithful test-time mode)."""
+        from cli import benchmark
+
+        out = benchmark.main(
+            ["--experiment", "hourglass8_skeleton", "--features", "8",
+             "--hourglass-depth", "1", "--dtype", "float32",
+             "--input-size", "32", "--batch", "2", "--json"]
+        )
+        assert out["images_per_sec"] > 0
+
+    def test_batch_bn_refuses_fold(self):
+        import pytest
+
+        from cli import benchmark
+
+        with pytest.raises(SystemExit):
+            benchmark.main(
+                ["--experiment", "hourglass8_skeleton", "--features", "8",
+                 "--hourglass-depth", "1", "--dtype", "float32",
+                 "--input-size", "32", "--batch", "2", "--fold"]
+            )
