@@ -13,8 +13,8 @@ import jax.numpy as jnp
 from .common import (
     add_eval_bn_arg,
     add_model_args,
+    build_eval_model_from_args,
     build_model_from_args,
-    make_eval_apply,
     resolve_experiment,
 )
 
@@ -55,13 +55,16 @@ def parse_args(argv=None):
                 "be combined with --train or --int8")
     if args.train and args.int8:
         p.error("--train and --int8 are mutually exclusive modes")
+    # --train/--int8/--fold keep their historical running-stat graphs. When
+    # 'batch' was REQUESTED (explicit flag or --experiment) the conflict is
+    # a loud error; when it was merely inferred from the preset's EXPERIMENTS
+    # entries, the requested graph wins and the mode falls back quietly (so
+    # e.g. `--preset hourglass8_skeleton --fold` keeps benchmarking the
+    # folded serving graph).
+    requested = args.eval_bn is not None or args.experiment is not None
     resolve_experiment(args)
-    # After resolution, so an --experiment-resolved 'batch' mode is caught
-    # too; --train/--int8/--fold keep their historical running-stat graphs
-    # (pass --eval-bn running explicitly to combine them with an experiment
-    # whose faithful eval mode is 'batch').
     if args.eval_bn == "batch" and (args.fold or args.int8 or args.train):
-        if args.train:
+        if args.train or not requested:
             args.eval_bn = "running"  # train mode measures batch stats anyway
         else:
             p.error("--eval-bn batch measures the plain batch-stat inference "
@@ -126,13 +129,8 @@ def main(argv=None):
         # --eval-bn batch: the try_* scripts' test-time mode (BN on current
         # batch statistics, EMA updates discarded) — measures what their
         # faithful eval actually costs vs the running-stat serving graph.
-        batch_bn = args.eval_bn == "batch"
-        extra = {"fold_tail": True} if args.fold else {}
-        model = build_model_from_args(
-            args, use_running_average=not batch_bn, **extra
-        )
+        model, raw_apply, _ = build_eval_model_from_args(args, fold=args.fold)
         variables = model.init(jax.random.PRNGKey(0), x)
-        raw_apply = make_eval_apply(model, batch_bn)
         apply_fn = lambda xx: raw_apply(variables, xx)
 
     if args.profile_dir:

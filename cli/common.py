@@ -55,20 +55,52 @@ def add_eval_bn_arg(p: argparse.ArgumentParser):
 
 
 def make_eval_apply(model, batch_mode: bool):
-    """Forward function for evaluation honoring the BN mode: in batch mode
-    the model was built with ``use_running_average=False`` so flax requires
-    ``mutable=['batch_stats']`` — the EMA updates are computed and DISCARDED
-    (torch train-mode inference also updates its EMAs; they just never get
-    read back). Returns ``apply(variables, x) -> outputs-list``."""
+    """Forward function for evaluation honoring the BN mode — thin alias of
+    :func:`...train.make_eval_apply` (see its docstring for the running-vs-
+    batch-statistics provenance)."""
+    from progressive_process_for_human_pose_estimation_tpu.train import (
+        make_eval_apply as _make,
+    )
 
-    def apply(variables, x):
-        if batch_mode:
-            outs, _ = model.apply(variables, x, mutable=["batch_stats"])
-        else:
-            outs = model.apply(variables, x)
-        return outs if isinstance(outs, (list, tuple)) else [outs]
+    return _make(model, batch_mode)
 
-    return apply
+
+def build_eval_model_from_args(args, fold: bool = False, **extra):
+    """Eval-side model construction honoring the resolved test-time BN mode
+    (``args.eval_bn``, see :func:`resolve_experiment`) and the fold/BN
+    constraint. Returns ``(model, apply_fn, batch_bn)`` where ``apply_fn``
+    is :func:`make_eval_apply`'s ``(variables, x) -> outputs-list``."""
+    batch_bn = getattr(args, "eval_bn", None) == "batch"
+    if fold and batch_bn:
+        raise SystemExit(
+            "--fold folds the running BN statistics into the tail matmul and "
+            "cannot run with batch statistics; pass --eval-bn running (note "
+            "the try_*-derived experiments record batch-stat eval as their "
+            "faithful mode)")
+    if fold:
+        extra["fold_tail"] = True
+    model = build_model_from_args(args, use_running_average=not batch_bn, **extra)
+    return model, make_eval_apply(model, batch_bn), batch_bn
+
+
+def infer_preset_experiment(preset):
+    """(eval_batch_stats, objective) agreed by every EXPERIMENTS entry built
+    on this model preset — (None, None)-ish when no entry or no agreement.
+    Lets preset-only eval invocations (no --experiment) recover the faithful
+    test-time BN mode and scoring objective instead of silently defaulting
+    to the .eval()/progressive pair (which scores e.g. a trained
+    hourglass8_skeleton checkpoint at 0% PCKh)."""
+    from progressive_process_for_human_pose_estimation_tpu.config import (
+        EXPERIMENTS,
+    )
+
+    matches = [c for c in EXPERIMENTS.values() if c.model_preset == preset]
+    if not matches:
+        return None, None
+    ebs = {c.eval_batch_stats for c in matches}
+    objs = {c.objective for c in matches}
+    return (ebs.pop() if len(ebs) == 1 else None,
+            objs.pop() if len(objs) == 1 else None)
 
 
 def build_model_from_args(args, **extra):
@@ -145,10 +177,19 @@ def resolve_experiment(args):
         if getattr(args, attr, None) is None:
             setattr(args, attr, cfg_value if cfg is not None else default)
 
+    # Eval-side CLIs (those with an --eval-bn flag) given only a --preset:
+    # recover the faithful BN mode + scoring objective from the EXPERIMENTS
+    # entries built on that preset (when they agree), instead of silently
+    # defaulting to .eval()/'progressive' — running-stat eval scores e.g. a
+    # trained hourglass8_skeleton checkpoint at 0% PCKh.
+    inf_ebs = inf_obj = None
+    if cfg is None and hasattr(args, "eval_bn") and getattr(args, "preset", None):
+        inf_ebs, inf_obj = infer_preset_experiment(args.preset)
+
     fill("preset", cfg.model_preset if cfg else None, "progressive_mpii")
     fill("dataset", cfg.dataset if cfg else None, "synthetic")
     fill("batch_size", cfg.batch_size if cfg else None, 8)
-    fill("objective", cfg.objective if cfg else None, "progressive")
+    fill("objective", cfg.objective if cfg else None, inf_obj or "progressive")
     fill("lr", cfg.learning_rate if cfg else None, 1e-4)
     if hasattr(args, "adam_eps"):
         fill("adam_eps", cfg.adam_eps if cfg else None, 1e-4)
@@ -156,12 +197,14 @@ def resolve_experiment(args):
         # 'batch' = test-time BN on current-batch statistics (the try_*
         # scripts never call .eval(), so torch train-mode BN is their test
         # behavior — config.ExperimentConfig.eval_batch_stats); 'running' =
-        # EMA stats (.eval(), train.py:991). Without --experiment the
-        # default is 'running', matching the final scripts.
+        # EMA stats (.eval(), train.py:991). Without --experiment the mode
+        # comes from the preset's EXPERIMENTS entries when they agree, else
+        # 'running' (the final scripts' behavior).
         fill(
             "eval_bn",
             ("batch" if cfg.eval_batch_stats else "running") if cfg else None,
-            "running",
+            ("batch" if inf_ebs else "running") if inf_ebs is not None
+            else "running",
         )
     fill("epochs", cfg.epochs if cfg else None, 300)
     fill("input_size", cfg.input_size if cfg else None, 256)

@@ -16,8 +16,9 @@ import numpy as np
 from .common import (
     add_data_args,
     add_eval_bn_arg,
+    build_eval_model_from_args,
     build_loader_from_args,
-    make_eval_apply,
+    infer_preset_experiment,
     resolve_experiment,
 )
 
@@ -33,11 +34,16 @@ def parse_args(argv=None):
     p.add_argument("--hourglass-depth", type=int, default=None)
     p.add_argument("--input-size", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    # performance_compare.py:619-620 .eval()s BOTH models, so 'running' is
-    # the faithful default here even for try_*-derived presets; pass
-    # --eval-bn batch when comparing models trained/evaluated train-mode.
+    # Per-side test-time BN: an explicit --eval-bn applies to BOTH models;
+    # otherwise each side resolves from its preset's EXPERIMENTS entries
+    # (performance_compare.py:619-620 .eval()s its two models — both map to
+    # eval_batch_stats=False presets, so the canonical comparison stays on
+    # running stats; try_*-derived presets get their faithful batch mode).
     add_eval_bn_arg(p)
     args = p.parse_args(argv)
+    # Remember whether the user pinned a mode BEFORE resolution fills the
+    # default — per-side inference in main() applies only when they didn't.
+    args.eval_bn_explicit = args.eval_bn is not None
     resolve_experiment(args)
     return args
 
@@ -51,7 +57,6 @@ def main(argv=None):
         pckh_curve,
         pckh_gauss_curve,
     )
-    from progressive_process_for_human_pose_estimation_tpu.models import build_model
     from progressive_process_for_human_pose_estimation_tpu.train import (
         create_train_state,
         restore_checkpoint,
@@ -62,13 +67,9 @@ def main(argv=None):
     render_fn = make_render_fn(manifest, inputsize=size, augment=False)
     loader.staging_size = render_fn.staging_size
 
-    batch_bn = args.eval_bn == "batch"
-    kw = dict(dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-              use_running_average=not batch_bn)
-    if args.features:
-        kw["features"] = args.features
-    if args.hourglass_depth:
-        kw["hourglass_depth"] = args.hourglass_depth
+    import copy
+
+    from .evaluate import KP_BLOCK_OBJECTIVES
 
     results = {}
     sample = jnp.zeros((args.batch_size, size, size, 3))
@@ -76,11 +77,18 @@ def main(argv=None):
         ("a", args.preset_a, args.load_a, True),
         ("b", args.preset_b, args.load_b, False),
     ]:
-        model = build_model(preset, **kw)
+        side = copy.copy(args)
+        side.preset = preset
+        ebs, obj = infer_preset_experiment(preset)
+        if not args.eval_bn_explicit:
+            side.eval_bn = "batch" if ebs else "running"
+        # Split-channel models score PCKh from a softmax over only their
+        # keypoint CE block (same scoping as cli.evaluate).
+        kp_block = KP_BLOCK_OBJECTIVES.get(obj)
+        model, apply_fn, _ = build_eval_model_from_args(side)
         state = create_train_state(model, jax.random.PRNGKey(0), sample)
         if load:
             state = restore_checkpoint(load, state)
-        apply_fn = make_eval_apply(model, batch_bn)
 
         if render_fn.kind == "lsp":
             # LSP schema renders Gaussian targets only: score both models
@@ -97,9 +105,12 @@ def main(argv=None):
         else:
             @jax.jit
             def eval_batch(params, batch_stats, images, target, rect,
-                           apply_fn=apply_fn, offset=offset):
+                           apply_fn=apply_fn, offset=offset,
+                           kp_block=kp_block):
                 outs = apply_fn({"params": params, "batch_stats": batch_stats}, images)
                 out = outs[-1].astype(jnp.float32)
+                if kp_block is not None:
+                    out = out[..., :kp_block]
                 # CE heads (offset=True) softmax and skip the background
                 # channel; Gauss/MSE heads (offset=False) score raw maps —
                 # cross-channel softmax would move per-channel argmaxes (the

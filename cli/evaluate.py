@@ -22,10 +22,9 @@ from .common import (
     add_data_args,
     add_eval_bn_arg,
     add_model_args,
+    build_eval_model_from_args,
     build_loader_from_args,
-    build_model_from_args,
     check_heads_match_renderer,
-    make_eval_apply,
     resolve_experiment,
 )
 
@@ -105,28 +104,15 @@ def main(argv=None):
     render_fn = make_render_fn(manifest, inputsize=size, augment=False)
     loader.staging_size = render_fn.staging_size
 
-    batch_bn = args.eval_bn == "batch"
-    extra = {}
-    if args.fold:
-        if args.stage != -1:
-            raise SystemExit("--fold produces only the final stage's output; "
-                             "it cannot be combined with --stage != -1")
-        if batch_bn:
-            raise SystemExit(
-                "--fold folds the running BN statistics into the tail matmul "
-                "and cannot evaluate with batch statistics; pass "
-                "--eval-bn running (note the try_*-derived experiments "
-                "record batch-stat eval as their faithful mode)")
-        extra["fold_tail"] = True
-    model = build_model_from_args(
-        args, use_running_average=not batch_bn, **extra
-    )
+    if args.fold and args.stage != -1:
+        raise SystemExit("--fold produces only the final stage's output; "
+                         "it cannot be combined with --stage != -1")
+    model, apply_fn, _ = build_eval_model_from_args(args, fold=args.fold)
     check_heads_match_renderer(model, render_fn, args.preset)
     sample = jnp.zeros((args.batch_size, size, size, 3))
     state = create_train_state(model, jax.random.PRNGKey(0), sample)
     if args.load:
         state = restore_checkpoint(args.load, state)
-    apply_fn = make_eval_apply(model, batch_bn)
 
     def outputs_of(params, batch_stats, images):
         outs = apply_fn({"params": params, "batch_stats": batch_stats}, images)

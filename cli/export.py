@@ -24,8 +24,7 @@ import numpy as np
 from .common import (
     add_eval_bn_arg,
     add_model_args,
-    build_model_from_args,
-    make_eval_apply,
+    build_eval_model_from_args,
     resolve_experiment,
 )
 
@@ -64,15 +63,11 @@ def main(argv=None):
     args = parse_args(argv)
     from jax import export as jax_export
 
-    batch_bn = args.eval_bn == "batch"
-    if args.fold and batch_bn:
-        raise SystemExit(
-            "--fold folds the running BN statistics into the tail matmul and "
-            "cannot serve with batch statistics; pass --eval-bn running")
-    extra = {"fold_tail": True} if args.fold else {}
-    model = build_model_from_args(
-        args, use_running_average=not batch_bn, **extra
-    )
+    # In batch-BN mode (the try_* scripts' test behavior) the exported graph
+    # computes batch statistics inline and discards the EMA updates, so the
+    # artifact stays a pure function of the input batch; --fold requires
+    # running stats (the shared builder refuses the combination loudly).
+    model, apply_fn, _ = build_eval_model_from_args(args, fold=args.fold)
     shape = (args.batch, args.input_size, args.input_size, 3)
     x0 = jnp.zeros(shape, jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0)
@@ -85,11 +80,6 @@ def main(argv=None):
         state = create_train_state(model, jax.random.PRNGKey(0), x0)
         state = maybe_resume(args.load, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-
-    # In batch-BN mode (the try_* scripts' test behavior) the exported graph
-    # computes batch statistics inline and discards the EMA updates, so the
-    # artifact stays a pure function of the input batch.
-    apply_fn = make_eval_apply(model, batch_bn)
 
     def forward(x):
         return apply_fn(variables, x)

@@ -16,8 +16,7 @@ import jax.numpy as jnp
 from .common import (
     add_eval_bn_arg,
     add_model_args,
-    build_model_from_args,
-    make_eval_apply,
+    build_eval_model_from_args,
     resolve_experiment,
 )
 
@@ -40,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--mask-load", default=None,
                    help="MaskNet checkpoint for --mask-gate (untrained "
                         "MaskNet weights otherwise)")
+    p.add_argument("--experiment", default=None,
+                   help="config.EXPERIMENTS preset (explicit flags override); "
+                        "also resolves the faithful --eval-bn mode")
     add_eval_bn_arg(p)
     args = p.parse_args(argv)
     resolve_experiment(args)
@@ -78,9 +80,7 @@ def main(argv=None):
         m = synthetic_coco_manifest(n_images=1, img_size=size, seed=1)
         img = synthetic_image(m["keypoints"][0], img_size=size, seed=1)
 
-    batch_bn = args.eval_bn == "batch"
-    model = build_model_from_args(args, use_running_average=not batch_bn)
-    apply_fn = make_eval_apply(model, batch_bn)
+    model, apply_fn, batch_bn = build_eval_model_from_args(args)
     x = jnp.asarray(img)[None]
     state = create_train_state(model, jax.random.PRNGKey(0), x)
     if args.load:
@@ -100,11 +100,15 @@ def main(argv=None):
         margs = copy.copy(args)
         margs.preset = "masknet"
         margs.out_channels = None
-        masknet = build_model_from_args(margs, use_running_average=not batch_bn)
+        # The mask net follows the pose model's BN mode: the reference's
+        # generatemask is never .eval()'d at test time (the call is commented
+        # out, train.py:990/997), so its mode is ambiguous there; keeping
+        # both nets in lockstep is the one consistent reading.
+        masknet, mask_apply, _ = build_eval_model_from_args(margs)
         mstate = create_train_state(masknet, jax.random.PRNGKey(0), x)
         if args.mask_load:
             mstate = restore_checkpoint(args.mask_load, mstate)
-        mask = make_eval_apply(masknet, batch_bn)(
+        mask = mask_apply(
             {"params": mstate.params, "batch_stats": mstate.batch_stats}, x
         )[0]
         gate = jnp.argmax(mask.astype(jnp.float32), axis=-1)  # (1, S/4, S/4)

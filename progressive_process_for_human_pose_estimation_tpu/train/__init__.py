@@ -9,6 +9,7 @@ from .checkpoint import (  # noqa: F401
 from .loop import (  # noqa: F401
     donation_supported,
     fit_epoch,
+    make_eval_apply,
     make_eval_step,
     make_train_step,
 )

@@ -92,22 +92,45 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(eval_model):
-    """Forward-only step (eval mode: BatchNorm running averages).
+def make_eval_apply(eval_model, batch_stats: bool = False):
+    """Unjitted eval forward honoring the test-time BatchNorm mode.
 
-    Matches the reference's test path (/root/reference/train.py:991):
-    ``model.eval()`` + softmax consumers downstream. ``eval_model`` must be
-    constructed with ``use_running_average=True`` (module attribute); its
-    parameters are shared with the training instance by passing the same
-    variables.
+    ``batch_stats=False`` — running averages, the reference's ``.eval()``
+    mode (train.py:991, hourglass_compare.py:1044, performance_compare.py:619;
+    ``eval_model`` must be built with ``use_running_average=True``).
+    ``batch_stats=True`` — current-batch statistics, the try_* scripts' test
+    behavior (they never call ``.eval()``; ``use_running_average=False``):
+    flax requires ``mutable=['batch_stats']``, and the EMA updates are
+    computed and DISCARDED (torch train-mode inference also updates its EMAs,
+    they just never get read back).
+
+    Returns ``apply(variables, images) -> list-of-stage-outputs`` suitable
+    for embedding in a caller's jitted eval function.
     """
 
-    def step(params, batch_stats, images):
-        outputs = eval_model.apply(
-            {"params": params, "batch_stats": batch_stats}, images
+    def apply(variables, images):
+        if batch_stats:
+            outs, _ = eval_model.apply(
+                variables, images, mutable=["batch_stats"]
+            )
+        else:
+            outs = eval_model.apply(variables, images)
+        return outs if isinstance(outs, (list, tuple)) else [outs]
+
+    return apply
+
+
+def make_eval_step(eval_model, batch_stats: bool = False):
+    """Jitted forward-only step: ``step(params, batch_stats, images) ->
+    [fp32 stage outputs]``. See :func:`make_eval_apply` for the BN-mode
+    semantics (running averages = the reference's ``.eval()`` path; batch
+    statistics = the try_* scripts' test behavior)."""
+    apply = make_eval_apply(eval_model, batch_stats)
+
+    def step(params, batch_stats_vars, images):
+        outputs = apply(
+            {"params": params, "batch_stats": batch_stats_vars}, images
         )
-        if not isinstance(outputs, (list, tuple)):
-            outputs = [outputs]
         return [o.astype(jnp.float32) for o in outputs]
 
     return jax.jit(step)
