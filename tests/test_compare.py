@@ -141,3 +141,63 @@ class TestBenchmarkEvalBN:
                  "--hourglass-depth", "1", "--dtype", "float32",
                  "--input-size", "32", "--batch", "2", "--fold"]
             )
+
+
+class TestComparePerSideBN:
+    def test_split_channel_side_resolves_batch_and_kp_block(self, tmp_path):
+        """Comparing a try_* split-channel preset against the classic
+        baseline: side A infers batch-stat BN + keypoint-block softmax from
+        the EXPERIMENTS registry, side B (classic_baseline → .eval()
+        provenance) stays on running stats — all without --eval-bn."""
+        from cli import compare
+
+        ckpt_a = str(tmp_path / "ckpt_a")
+        _train("hourglass8_skeleton", "split_channel", ckpt_a)
+
+        results = compare.main(
+            ["--preset-a", "hourglass8_skeleton", "--load-a", ckpt_a,
+             "--preset-b", "recursive_4stack_coco"]
+            + COMMON
+        )
+        for tag in ("a", "b"):
+            curve = results[tag]
+            assert curve.shape == (11,)
+            assert np.all(np.isfinite(curve))
+
+
+class TestMakeEvalStepBatchMode:
+    def test_library_eval_step_modes(self):
+        """make_eval_step(batch_stats=True) equals a train-mode forward and
+        differs from the running-stat step after EMA drift."""
+        import jax
+        import jax.numpy as jnp
+
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            build_model,
+        )
+        from progressive_process_for_human_pose_estimation_tpu.train import (
+            make_eval_step,
+        )
+
+        kw = dict(features=8, hourglass_depth=1, dtype=jnp.float32)
+        m_train = build_model("only_one_hourglass",
+                              use_running_average=False, **kw)
+        m_eval = build_model("only_one_hourglass",
+                             use_running_average=True, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        variables = m_train.init(jax.random.PRNGKey(1), x)
+        _, mut = m_train.apply(variables, x * 2.0 + 1.0,
+                               mutable=["batch_stats"])
+        params, stats = variables["params"], mut["batch_stats"]
+
+        out_batch = make_eval_step(m_train, batch_stats=True)(params, stats, x)
+        out_run = make_eval_step(m_eval)(params, stats, x)
+        ref, _ = m_train.apply({"params": params, "batch_stats": stats}, x,
+                               mutable=["batch_stats"])
+        ref = ref if isinstance(ref, (list, tuple)) else [ref]
+        # jit-vs-eager rounding only (make_eval_step jits; the ref is eager)
+        np.testing.assert_allclose(np.asarray(out_batch[-1]),
+                                   np.asarray(ref[-1], np.float32),
+                                   atol=1e-4, rtol=1e-4)
+        assert not np.allclose(np.asarray(out_batch[-1]),
+                               np.asarray(out_run[-1]), atol=1e-3)
