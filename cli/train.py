@@ -99,6 +99,7 @@ def main(argv=None):
         OBJECTIVES,
     )
     from progressive_process_for_human_pose_estimation_tpu.utils.metrics import (
+        DeviceLossTrace,
         MetricLogger,
     )
 
@@ -174,6 +175,13 @@ def main(argv=None):
 
     steps_per_epoch = len(loader)
 
+    # Per-STEP loss record (the reference saves record arrays every
+    # iteration inside the checkpoint, try_with_aspp.py:359-421) —
+    # accumulated on device, read back once per save.
+    trace = DeviceLossTrace(steps_per_epoch * args.epochs)
+    if args.load and not args.retrain:
+        trace.prefill(load_loss_history(args.load))
+
     def log_fn(i, m):
         step = i + steps_per_epoch * epoch
         logger.log_scalars(step, {k: v for k, v in m.items() if k != "finite"})
@@ -194,13 +202,18 @@ def main(argv=None):
             image_every=args.image_every if args.logdir else 0,
             image_fn=image_fn,
             step_offset=steps_per_epoch * epoch,
+            trace_fn=trace.record,
         )
         if args.save and ((epoch + 1) % args.save_every == 0
                           or epoch + 1 == args.epochs):
-            save_checkpoint(args.save, state, loss_history=logger.loss_history,
+            save_checkpoint(args.save, state,
+                            loss_history=trace.history() or logger.loss_history,
                             async_save=args.async_save)
     if args.save:
         wait_for_checkpoints()
+        final = trace.history()
+        if final:
+            logger.loss_history = {k: list(v) for k, v in final.items()}
         logger.save_loss_curve(args.save.rstrip("/") + "_loss.png")
     logger.close()
     return state

@@ -148,6 +148,7 @@ def fit_epoch(
     image_every: int = 0,
     image_fn: Optional[Callable] = None,
     step_offset: int = 0,
+    trace_fn: Optional[Callable] = None,
 ):
     """Run one epoch over an iterable of host batches — THE train loop
     (cli.train consumes this; there is no second copy).
@@ -175,6 +176,10 @@ def fit_epoch(
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch)
+        if trace_fn is not None:
+            # Called EVERY step with device values — implementations must
+            # not read back (see utils.metrics.DeviceLossTrace).
+            trace_fn(step_offset + i, metrics)
         if log_fn is not None and (step_offset + i) % log_every == 0:
             log_fn(i, jax.device_get(metrics))
         if image_fn is not None and image_every > 0 \

@@ -46,6 +46,66 @@ def make_grid(images: np.ndarray, pad: int = 2) -> np.ndarray:
     return grid
 
 
+class DeviceLossTrace:
+    """Per-step loss history accumulated ON DEVICE — zero host readbacks in
+    the step loop (each record is two dispatched ops: a stack and a buffer
+    write), one ``device_get`` at save time materializes the whole history.
+
+    Parity target: the reference saves per-STEP loss record arrays inside
+    every checkpoint (/root/reference/try_with_aspp.py:359-421, 402-406 —
+    ``record_loss_1..4`` appended every iteration). A host-side append would
+    pay a blocking readback per step, which serializes the remote-TPU tunnel
+    (the same pathology the global-step log cadence fix removed); this
+    buffer keeps the per-step record exactly and pays nothing until save.
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = int(capacity)
+        self.keys = None
+        self.buf = None  # (n_keys, capacity) device array
+        self.n = 0
+
+    def record(self, gstep: int, metrics) -> None:
+        if self.capacity <= 0 or gstep >= self.capacity:
+            return
+        import jax.numpy as jnp
+
+        vals = {k: v for k, v in metrics.items() if k != "finite"}
+        if self.keys is None:
+            self.keys = sorted(vals)
+            self.buf = jnp.zeros((len(self.keys), self.capacity), jnp.float32)
+        stacked = jnp.stack(
+            [jnp.asarray(vals[k], jnp.float32) for k in self.keys]
+        )
+        self.buf = self.buf.at[:, gstep].set(stacked)
+        self.n = max(self.n, gstep + 1)
+
+    def prefill(self, history) -> None:
+        """Seed from a loaded ``loss_history`` dict on resume (arrays are
+        left-aligned; the run continues writing at its global step)."""
+        if not history:
+            return
+        import jax.numpy as jnp
+        import numpy as np
+
+        self.keys = sorted(history)
+        self.buf = jnp.zeros((len(self.keys), self.capacity), jnp.float32)
+        for i, k in enumerate(self.keys):
+            arr = np.asarray(history[k], np.float32).ravel()[: self.capacity]
+            self.buf = self.buf.at[i, : arr.size].set(arr)
+            self.n = max(self.n, arr.size)
+
+    def history(self):
+        """{name: np.ndarray of per-step values} — ONE device readback."""
+        if self.keys is None:
+            return {}
+        import jax
+        import numpy as np
+
+        host = np.asarray(jax.device_get(self.buf))
+        return {k: host[i, : self.n] for i, k in enumerate(self.keys)}
+
+
 class MetricLogger:
     """Scalar/image logging with the reference's cadence and names."""
 

@@ -444,3 +444,34 @@ class TestSplitChannelScoring:
         # spurious hit. The assertion pins the scopes apart.
         assert float(acc_block[0, -1]) == 0.0
         assert float(acc_full[0, -1]) == 1.0
+
+
+class TestPerStepLossHistory:
+    def test_checkpoint_records_every_step_and_resumes(self, tmp_path):
+        """The reference saves per-STEP loss record arrays inside every
+        checkpoint (try_with_aspp.py:359-421); the device-side trace must
+        record denser than the log cadence and keep appending on resume."""
+        from cli import train
+        from progressive_process_for_human_pose_estimation_tpu.train import (
+            load_loss_history,
+        )
+
+        common = [
+            "--preset", "progressive_coco",
+            "--features", "16", "--hourglass-depth", "1",
+            "--dtype", "float32", "--input-size", "64",
+            "--batch-size", "4", "--n-synthetic", "8",
+            "--log-every", "100",
+        ]
+        ckpt = str(tmp_path / "ckpt")
+        train.main(common + ["--epochs", "3", "--save", ckpt])
+        hist = load_loss_history(ckpt)
+        # 8 images / batch 4 => 2 steps/epoch; 3 epochs => 6 recorded steps,
+        # though log_every=100 printed only step 0.
+        assert len(hist["loss"]) == 6
+        assert np.all(np.isfinite(np.asarray(hist["loss"])))
+
+        train.main(common + ["--epochs", "5", "--load", ckpt, "--save", ckpt])
+        hist = load_loss_history(ckpt)
+        assert len(hist["loss"]) == 10
+        assert np.all(np.isfinite(np.asarray(hist["loss"])))
