@@ -1,0 +1,76 @@
+"""REAL multi-process integration: two OS processes, one jax distributed
+runtime (Gloo over loopback), one synchronized train step.
+
+Round 2's multi-host coverage was limited to the single-process-testable
+surface (tests/test_distributed.py) plus the statically-checked mesh gating;
+this spawns two actual processes through the repo's own
+``parallel.initialize`` → ``host_shard`` → ``mesh_for_batch`` →
+``shard_batch`` → ``make_train_step`` path and asserts both hosts see the
+same global loss and end the step with identical parameters — the gradient
+all-reduce genuinely crossed the process boundary (each host fed different
+data from its disjoint manifest shard).
+"""
+
+import re
+import socket
+import subprocess
+import sys
+import os
+
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_train_step_stays_synchronized():
+    # No pytest-timeout plugin in this image — the subprocess communicate
+    # timeout below is the real bound.
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "mp_worker.py")
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # The workers need exactly ONE local device each; the suite-wide
+    # XLA_FLAGS forces 8 virtual devices, which would give a 16-device
+    # 2-process mesh — valid, but 1+1 is the clearest assertion target.
+    env["XLA_FLAGS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    results = {}
+    for out in outs:
+        m = re.search(
+            r"RESULT pid=(\d+) loss=([\d.]+) checksum=([\d.]+)", out
+        )
+        assert m, out[-3000:]
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+
+    assert set(results) == {0, 1}
+    (loss0, sum0), (loss1, sum1) = results[0], results[1]
+    # Same global loss on both hosts (it is a collective over BOTH shards)
+    # and bit-identical post-step parameters (synchronized training).
+    assert loss0 == pytest.approx(loss1, rel=1e-6)
+    assert sum0 == pytest.approx(sum1, rel=1e-6)
