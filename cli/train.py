@@ -151,8 +151,11 @@ def main(argv=None):
         state = jax.device_put(state, parallel.replicated_sharding(mesh))
     run_name = args.run_name or args.experiment or args.preset
     logger = MetricLogger(args.logdir, run_name)
-    if args.load and not args.retrain:
-        logger.loss_history = load_loss_history(args.load) or logger.loss_history
+    loaded_history = (
+        load_loss_history(args.load) if args.load and not args.retrain else None
+    )
+    if loaded_history:
+        logger.loss_history = loaded_history
 
     # Prediction-grid logging (train.py:915-956): forward the current batch
     # and render argmax colormap grids under the reference tag names.
@@ -177,10 +180,14 @@ def main(argv=None):
 
     # Per-STEP loss record (the reference saves record arrays every
     # iteration inside the checkpoint, try_with_aspp.py:359-421) —
-    # accumulated on device, read back once per save.
+    # accumulated on device, read back once per save. Fine-tune restarts at
+    # epoch 0 (a donor's curve is not this run's), and a resume only seeds
+    # the trace when the loaded history really is a per-step record of the
+    # resumed steps — otherwise the trace disables itself and the
+    # log-cadence logger history is saved instead (the pre-trace behavior).
     trace = DeviceLossTrace(steps_per_epoch * args.epochs)
-    if args.load and not args.retrain:
-        trace.prefill(load_loss_history(args.load))
+    if loaded_history and not args.fine_tune:
+        trace.prefill(loaded_history, steps_per_epoch * int(state.epoch))
 
     def log_fn(i, m):
         step = i + steps_per_epoch * epoch

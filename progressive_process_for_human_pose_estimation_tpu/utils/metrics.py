@@ -64,6 +64,25 @@ class DeviceLossTrace:
         self.keys = None
         self.buf = None  # (n_keys, capacity) device array
         self.n = 0
+        self._set = None
+
+    def _setter(self):
+        # One jitted dispatch per step; the buffer is donated where the
+        # backend supports it so the write is in place (eager `.at[].set`
+        # copies the whole buffer every step — O(steps²) HBM traffic on
+        # long runs). The axon remote-TPU tunnel hangs on donated
+        # executables, so donation is gated the same way as the train step.
+        if self._set is None:
+            import jax
+
+            from ..train.loop import donation_supported
+
+            donate = (0,) if donation_supported() else ()
+            self._set = jax.jit(
+                lambda buf, vals, i: buf.at[:, i].set(vals),
+                donate_argnums=donate,
+            )
+        return self._set
 
     def record(self, gstep: int, metrics) -> None:
         if self.capacity <= 0 or gstep >= self.capacity:
@@ -71,29 +90,53 @@ class DeviceLossTrace:
         import jax.numpy as jnp
 
         vals = {k: v for k, v in metrics.items() if k != "finite"}
+        live_keys = sorted(vals)
         if self.keys is None:
-            self.keys = sorted(vals)
+            self.keys = live_keys
             self.buf = jnp.zeros((len(self.keys), self.capacity), jnp.float32)
+        elif live_keys != self.keys:
+            # Prefilled keys disagree with the live objective's metrics
+            # (e.g. resume under a different objective): rebuild on the live
+            # key set, carrying over the rows both share.
+            old_keys, old_buf = self.keys, self.buf
+            self.keys = live_keys
+            self.buf = jnp.zeros((len(self.keys), self.capacity), jnp.float32)
+            for i, k in enumerate(self.keys):
+                if k in old_keys:
+                    self.buf = self.buf.at[i].set(old_buf[old_keys.index(k)])
         stacked = jnp.stack(
             [jnp.asarray(vals[k], jnp.float32) for k in self.keys]
         )
-        self.buf = self.buf.at[:, gstep].set(stacked)
+        self.buf = self._setter()(self.buf, stacked, gstep)
         self.n = max(self.n, gstep + 1)
 
-    def prefill(self, history) -> None:
-        """Seed from a loaded ``loss_history`` dict on resume (arrays are
-        left-aligned; the run continues writing at its global step)."""
-        if not history:
-            return
+    def prefill(self, history, expected_steps: int) -> bool:
+        """Seed from a loaded ``loss_history`` dict on resume.
+
+        Alignment is only sound when the loaded arrays really are per-step
+        records of the steps this run resumes after — i.e. every array has
+        exactly ``expected_steps`` entries (same batch size, per-step
+        provenance). Anything else (a pre-trace log-cadence history, a
+        changed batch size) would leave zero gaps or stale tails, so the
+        trace DISABLES itself and the caller's log-cadence fallback applies.
+        Returns True when seeded.
+        """
+        if not history or expected_steps <= 0:
+            return False
         import jax.numpy as jnp
         import numpy as np
 
-        self.keys = sorted(history)
+        arrays = {k: np.asarray(v, np.float32).ravel() for k, v in history.items()}
+        if any(a.size != expected_steps for a in arrays.values()) \
+                or expected_steps > self.capacity:
+            self.capacity = 0  # disable: record() becomes a no-op
+            return False
+        self.keys = sorted(arrays)
         self.buf = jnp.zeros((len(self.keys), self.capacity), jnp.float32)
         for i, k in enumerate(self.keys):
-            arr = np.asarray(history[k], np.float32).ravel()[: self.capacity]
-            self.buf = self.buf.at[i, : arr.size].set(arr)
-            self.n = max(self.n, arr.size)
+            self.buf = self.buf.at[i, :expected_steps].set(arrays[k])
+        self.n = expected_steps
+        return True
 
     def history(self):
         """{name: np.ndarray of per-step values} — ONE device readback."""

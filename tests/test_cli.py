@@ -475,3 +475,38 @@ class TestPerStepLossHistory:
         hist = load_loss_history(ckpt)
         assert len(hist["loss"]) == 10
         assert np.all(np.isfinite(np.asarray(hist["loss"])))
+
+
+class TestDeviceLossTrace:
+    def test_key_mismatch_rebuilds_on_live_keys(self):
+        """Resuming under a different objective must not crash: the trace
+        rebuilds on the live metric keys, carrying shared rows."""
+        import jax.numpy as jnp
+
+        from progressive_process_for_human_pose_estimation_tpu.utils.metrics import (
+            DeviceLossTrace,
+        )
+
+        t = DeviceLossTrace(4)
+        assert t.prefill({"loss": [1.0, 2.0], "loss_2": [3.0, 4.0]},
+                         expected_steps=2)
+        t.record(2, {"loss": jnp.asarray(9.0), "loss_stack0": jnp.asarray(7.0)})
+        h = t.history()
+        assert sorted(h) == ["loss", "loss_stack0"]
+        assert list(h["loss"]) == [1.0, 2.0, 9.0]
+        assert h["loss_stack0"][2] == 7.0
+
+    def test_misaligned_prefill_disables_trace(self):
+        """A log-cadence (sparse) or batch-size-changed history cannot be
+        aligned — the trace disables itself so the caller's log-cadence
+        fallback applies instead of saving a zero-riddled curve."""
+        import jax.numpy as jnp
+
+        from progressive_process_for_human_pose_estimation_tpu.utils.metrics import (
+            DeviceLossTrace,
+        )
+
+        t = DeviceLossTrace(100)
+        assert not t.prefill({"loss": [1.0, 2.0, 3.0]}, expected_steps=50)
+        t.record(50, {"loss": jnp.asarray(9.0)})  # no-op: disabled
+        assert t.history() == {}
