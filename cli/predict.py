@@ -42,6 +42,16 @@ def parse_args(argv=None):
     p.add_argument("--experiment", default=None,
                    help="config.EXPERIMENTS preset (explicit flags override); "
                         "also resolves the faithful --eval-bn mode")
+    p.add_argument("--crf", action="store_true",
+                   help="dense-CRF mean-field refinement of the final "
+                        "stage's softmax before decode (the reference ships "
+                        "this helper with its pydensecrf constants, "
+                        "try_different_stack.py:332-349, though no script "
+                        "calls it). Decode then runs on refined "
+                        "PROBABILITIES: --threshold defaults to 0 here "
+                        "(pass e.g. 0.2 to require confident peaks)")
+    p.add_argument("--crf-iters", type=int, default=10,
+                   help="mean-field iterations for --crf")
     add_eval_bn_arg(p)
     args = p.parse_args(argv)
     resolve_experiment(args)
@@ -119,10 +129,29 @@ def main(argv=None):
     raw_final = outs[-1].astype(jnp.float32)
     outs = [jax.nn.softmax(o.astype(jnp.float32), axis=-1) for o in outs]
 
-    # Threshold on the RAW final maps (the reference thresholds result[...]
-    # pre-softmax, train.py:1060-1068, default threshold=1 — softmaxed values
-    # never exceed 1, so thresholding them would reject every peak).
-    coords, valid = argmax_decode(raw_final, threshold=args.threshold,
+    if args.crf:
+        # Mean-field refinement at heatmap resolution against the (resized)
+        # input image, then decode from the refined probabilities.
+        from progressive_process_for_human_pose_estimation_tpu.eval import (
+            dense_crf,
+        )
+
+        hm = outs[-1][0]
+        h, w = hm.shape[0], hm.shape[1]
+        img_small = jax.image.resize(
+            jnp.asarray(img, jnp.float32), (h, w, 3), "bilinear"
+        )
+        refined = dense_crf(img_small, hm, n_iters=args.crf_iters)
+        outs[-1] = refined[None]
+        threshold = 0.0 if args.threshold == 1.0 else args.threshold
+        decode_maps = outs[-1]
+    else:
+        # Threshold on the RAW final maps (the reference thresholds
+        # result[...] pre-softmax, train.py:1060-1068, default threshold=1 —
+        # softmaxed values never exceed 1, so thresholding them would reject
+        # every peak).
+        threshold, decode_maps = args.threshold, raw_final
+    coords, valid = argmax_decode(decode_maps, threshold=threshold,
                                   scale=size // raw_final.shape[1])
     coords, valid = np.asarray(coords[0]), np.asarray(valid[0])
 

@@ -201,3 +201,22 @@ class TestMakeEvalStepBatchMode:
                                    atol=1e-4, rtol=1e-4)
         assert not np.allclose(np.asarray(out_batch[-1]),
                                np.asarray(out_run[-1]), atol=1e-3)
+
+
+class TestCRFPredict:
+    def test_crf_flag_refines_and_decodes(self, tmp_path):
+        """--crf runs the mean-field refinement (the reference ships the
+        helper with pydensecrf constants, try_different_stack.py:332-349)
+        and decodes from refined probabilities."""
+        import os
+
+        from cli import predict
+
+        out_png = str(tmp_path / "crf.png")
+        predict.main(
+            ["--preset", "progressive_coco", "--features", "16",
+             "--hourglass-depth", "1", "--dtype", "float32",
+             "--input-size", "64", "--crf", "--crf-iters", "2",
+             "--out", out_png]
+        )
+        assert os.path.exists(out_png)
