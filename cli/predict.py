@@ -52,6 +52,16 @@ def parse_args(argv=None):
                         "(pass e.g. 0.2 to require confident peaks)")
     p.add_argument("--crf-iters", type=int, default=10,
                    help="mean-field iterations for --crf")
+    p.add_argument("--decode", default="argmax",
+                   choices=["argmax", "normalized-peak", "nms"],
+                   help="keypoint decode: 'argmax' = per-channel argmax + "
+                        "threshold (train.py:1060-1068); 'normalized-peak' "
+                        "= min-max normalize each channel and mark EVERY "
+                        "pixel above --threshold (default 0.7 here, "
+                        "try_different_stack.py:485-498); 'nms' = argmax "
+                        "restricted to 3x3 local maxima "
+                        "(ndimage.maximum_filter as a reduce_window, "
+                        "try_different_stack_without_skeleton.py:486-492)")
     add_eval_bn_arg(p)
     args = p.parse_args(argv)
     resolve_experiment(args)
@@ -151,9 +161,32 @@ def main(argv=None):
         # softmaxed values never exceed 1, so thresholding them would reject
         # every peak).
         threshold, decode_maps = args.threshold, raw_final
-    coords, valid = argmax_decode(decode_maps, threshold=threshold,
-                                  scale=size // raw_final.shape[1])
-    coords, valid = np.asarray(coords[0]), np.asarray(valid[0])
+    scale = size // raw_final.shape[1]
+    if args.decode == "argmax":
+        coords, valid = argmax_decode(decode_maps, threshold=threshold,
+                                      scale=scale)
+        coords, valid = np.asarray(coords[0]), np.asarray(valid[0])
+        points = [(px, py) for (px, py), ok in zip(coords, valid) if ok]
+    elif args.decode == "normalized-peak":
+        from progressive_process_for_human_pose_estimation_tpu.eval import (
+            normalized_peak_decode,
+        )
+
+        # Min-max normalization makes the raw/prob scale irrelevant; the
+        # reference's threshold is 0.7 (try_different_stack.py:487).
+        thr = 0.7 if args.threshold == 1.0 else args.threshold
+        mask, _ = normalized_peak_decode(decode_maps, threshold=thr)
+        ys, xs, _cs = np.where(np.asarray(mask[0]))
+        points = list(zip(xs * scale, ys * scale))
+    else:  # nms: ALL local maxima above threshold (multi-peak decode)
+        from progressive_process_for_human_pose_estimation_tpu.eval import (
+            local_max_nms,
+        )
+
+        nms = np.asarray(local_max_nms(decode_maps)[0])
+        above = np.asarray(decode_maps[0]) > threshold
+        ys, xs, _cs = np.where(nms & above)
+        points = list(zip(xs * scale, ys * scale))
 
     n_panels = 1 + (1 if gate is not None else 0) + len(outs) + 1
     fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 4))
@@ -170,14 +203,13 @@ def main(argv=None):
         axes[1 + i].imshow(colorize_class_map(cls, o.shape[-1]))
         axes[1 + i].set_title(titles[i] if i < len(titles) else f"stage {i}")
     axes[-1].imshow(img)
-    for j, ((px, py), ok) in enumerate(zip(coords, valid)):
-        if ok:
-            axes[-1].plot(px, py, "o", markersize=4)
-    axes[-1].set_title("decoded keypoints")
+    for px, py in points:
+        axes[-1].plot(px, py, "o", markersize=4)
+    axes[-1].set_title(f"decoded keypoints ({args.decode})")
     for ax in all_axes:
         ax.axis("off")
     fig.savefig(args.out, bbox_inches="tight")
-    print(f"wrote {args.out} ({int(valid.sum())} peaks above threshold)")
+    print(f"wrote {args.out} ({len(points)} peaks above threshold)")
 
 
 if __name__ == "__main__":

@@ -220,3 +220,22 @@ class TestCRFPredict:
              "--out", out_png]
         )
         assert os.path.exists(out_png)
+
+
+class TestDecodeModes:
+    def test_normalized_peak_and_nms_decodes(self, tmp_path):
+        """--decode normalized-peak / nms run end to end and draw a figure
+        (try_different_stack.py:485-498 and the maximum_filter NMS,
+        try_different_stack_without_skeleton.py:486-492)."""
+        import os
+
+        from cli import predict
+
+        for mode in ("normalized-peak", "nms"):
+            out_png = str(tmp_path / f"{mode}.png")
+            predict.main(
+                ["--preset", "progressive_coco", "--features", "16",
+                 "--hourglass-depth", "1", "--dtype", "float32",
+                 "--input-size", "64", "--decode", mode, "--out", out_png]
+            )
+            assert os.path.exists(out_png)
