@@ -115,6 +115,10 @@ def test_cli_evaluate_fold_matches():
         "--dataset", "synthetic", "--n-synthetic", "4", "--batch-size", "2",
         "--input-size", "64", "--features", "32", "--hourglass-depth", "2",
         "--dtype", "float32",
+        # The fold requires running-stat BN; pin BOTH sides to it (the bare
+        # preset otherwise infers the experiment's faithful batch-stat mode,
+        # which --fold refuses).
+        "--eval-bn", "running",
     ]
     ref = evaluate.main(common)
     fold = evaluate.main(common + ["--fold"])
