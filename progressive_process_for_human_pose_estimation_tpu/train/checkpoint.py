@@ -88,11 +88,21 @@ def load_loss_history(path: str):
 
 
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
-    """Full resume: params + optimizer + epoch counter (train.py:868-872)."""
+    """Full resume: params + optimizer + epoch counter (train.py:868-872).
+
+    The ``epoch``/``step`` bookkeeping scalars are restored as HOST (numpy)
+    arrays — numpy template leaves make orbax skip device placement for
+    them — so the resume arithmetic (``int(state.epoch)`` in cli.train)
+    never needs a device readback before the first step. On the remote-TPU
+    tunnel a D2H readback of a freshly H2D-committed restore can block
+    behind transfer-path stalls (same class as the donation hang,
+    ROUND3_NOTES); on any backend it is a pointless sync. The scalars
+    rejoin the device state at the first jitted step dispatch.
+    """
     path = os.path.abspath(path)
     template = {
-        "epoch": state.epoch,
-        "step": state.step,
+        "epoch": np.zeros(state.epoch.shape, state.epoch.dtype),
+        "step": np.zeros(state.step.shape, state.step.dtype),
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,

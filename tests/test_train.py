@@ -117,6 +117,28 @@ class TestCheckpoint:
         for a, b in zip(l1, l2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_restore_bookkeeping_stays_on_host(self, rng, tmp_path):
+        """epoch/step restore as numpy so resume arithmetic never needs a
+        device readback (a D2H of freshly restored buffers can block on the
+        remote-TPU tunnel; on any backend it is a pointless sync), and the
+        host scalars must still feed the next jitted step."""
+        model = tiny_model()
+        state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+        step = make_train_step(model, progressive_objective, donate=False)
+        state, _ = step(state, tiny_batch(rng))
+        path = str(tmp_path / "ckpt_host")
+        save_checkpoint(path, state)
+
+        fresh = create_train_state(model, jax.random.PRNGKey(1), jnp.zeros((2, 32, 32, 3)))
+        restored = restore_checkpoint(path, fresh)
+        assert isinstance(restored.epoch, np.ndarray)
+        assert isinstance(restored.step, np.ndarray)
+        assert restored.step.dtype == np.asarray(fresh.step).dtype
+        assert int(restored.step) == 1
+        # The host scalars must round-trip back into the jitted step.
+        resumed, _ = step(restored, tiny_batch(rng))
+        assert int(resumed.step) == 2
+
     def test_shape_filtered_restore(self):
         donor = {"a": np.ones((3, 3)), "b": np.ones((2,)), "c": np.ones((5,))}
         target = {"a": np.zeros((3, 3)), "b": np.zeros((4,)), "d": np.zeros((1,))}
