@@ -1,0 +1,142 @@
+"""Import the reference's ACTUAL source modules for parity testing.
+
+The reference scripts (/root/reference/*.py) define their model classes at
+module level and guard ``main()`` behind ``__main__``, so they are importable
+once their unavailable heavy deps (apex, pycocotools, torchvision, torchstat,
+skimage) are stubbed in ``sys.modules``.  This converts the repo's parity
+chain from "matches the builder's torch transcription" into "matches the
+reference's real code" (VERDICT round 3, item 1).
+
+Nothing here executes reference training code: importing only runs constant
+assignments (e.g. /root/reference/train.py:39-97) plus class definitions.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+REFERENCE_DIR = Path("/root/reference")
+
+_CACHE: dict = {}
+
+
+def _stub_module(name: str, **attrs) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    mod.__stub_for_reference_import__ = True
+    return mod
+
+
+def _install_stubs() -> None:
+    """Register import-time stubs for deps absent from this environment.
+
+    Only what the reference touches AT MODULE SCOPE needs to be real; every
+    attribute below is a placeholder that raises if actually called.
+    """
+
+    def _unavailable(*_a, **_k):  # pragma: no cover - never called in tests
+        raise RuntimeError("stubbed reference dependency was called")
+
+    stubs: dict[str, types.ModuleType] = {}
+
+    if "torchvision" not in sys.modules:
+        tv = _stub_module("torchvision")
+        tvt = _stub_module(
+            "torchvision.transforms",
+            Compose=_unavailable,
+            ColorJitter=_unavailable,
+            Resize=_unavailable,
+            ToTensor=_unavailable,
+        )
+        tvf = _stub_module("torchvision.transforms.functional")
+        tvu = _stub_module("torchvision.utils", make_grid=_unavailable)
+        tv.transforms = tvt
+        tvt.functional = tvf
+        tv.utils = tvu
+        stubs.update(
+            {
+                "torchvision": tv,
+                "torchvision.transforms": tvt,
+                "torchvision.transforms.functional": tvf,
+                "torchvision.utils": tvu,
+            }
+        )
+
+    if "pycocotools" not in sys.modules:
+        pct = _stub_module("pycocotools")
+        coco = _stub_module("pycocotools.coco", COCO=_unavailable)
+        pct.coco = coco
+        stubs.update({"pycocotools": pct, "pycocotools.coco": coco})
+
+    if "apex" not in sys.modules:
+        amp = _stub_module(
+            "apex.amp", initialize=_unavailable, scale_loss=_unavailable
+        )
+        apex = _stub_module("apex", amp=amp)
+        stubs.update({"apex": apex, "apex.amp": amp})
+
+    if "torchstat" not in sys.modules:
+        stubs["torchstat"] = _stub_module("torchstat", stat=_unavailable)
+
+    if "skimage" not in sys.modules:
+        sk = _stub_module("skimage")
+        skf = _stub_module("skimage.feature", peak_local_max=_unavailable)
+        sk.feature = skf
+        stubs.update({"skimage": sk, "skimage.feature": skf})
+
+    if "pydensecrf" not in sys.modules:
+        pd = _stub_module("pydensecrf")
+        pdc = _stub_module(
+            "pydensecrf.densecrf",
+            DenseCRF2D=_unavailable,
+        )
+        pdu = _stub_module(
+            "pydensecrf.utils",
+            unary_from_softmax=_unavailable,
+            create_pairwise_bilateral=_unavailable,
+            create_pairwise_gaussian=_unavailable,
+        )
+        pd.densecrf = pdc
+        pd.utils = pdu
+        stubs.update(
+            {
+                "pydensecrf": pd,
+                "pydensecrf.densecrf": pdc,
+                "pydensecrf.utils": pdu,
+            }
+        )
+
+    sys.modules.update(stubs)
+
+
+def load_reference(script: str) -> types.ModuleType:
+    """Import ``/root/reference/<script>.py`` as module ``refsrc_<script>``.
+
+    The module object is cached: reference constants are plain globals, so
+    tests that patch them (e.g. shrinking ``nFeats`` where the architecture
+    permits) must restore the original values.
+    """
+    if script in _CACHE:
+        return _CACHE[script]
+    _install_stubs()
+    path = REFERENCE_DIR / f"{script}.py"
+    spec = importlib.util.spec_from_file_location(f"refsrc_{script}", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    # The scripts call matplotlib.use('TkAgg') at import (train.py:32), which
+    # raises on this headless box once pyplot is loaded; the tests never draw
+    # through the reference, so neutralize use() for the duration of the exec.
+    import matplotlib
+
+    real_use = matplotlib.use
+    matplotlib.use = lambda *a, **k: None
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        matplotlib.use = real_use
+    _CACHE[script] = mod
+    return mod
