@@ -68,11 +68,17 @@ def _merge_matrix(variant: str, out_channels: int, sks: np.ndarray):
     """
     c = out_channels
     if variant in ("skeleton_from_keypoints", "skeleton_from_keypoints_merge"):
+        # skeleton_from_keypoints indexes sks+1 (channel 0 = background,
+        # /root/reference/try_skeleton_from_keypoints.py:276); the _merge
+        # variant's head is 17 Gaussian keypoint channels with NO background,
+        # so it indexes sks directly
+        # (/root/reference/try_skeleton_from_keypoints_merge.py:297).
+        off = 1 if variant == "skeleton_from_keypoints" else 0
         m = np.zeros((c, c + len(sks)), np.float32)
         m[np.arange(c), np.arange(c)] = 1.0
         for e, (j0, j1) in enumerate(sks):
-            m[j0 + 1, c + e] += 1.0
-            m[j1 + 1, c + e] += 1.0
+            m[j0 + off, c + e] += 1.0
+            m[j1 + off, c + e] += 1.0
         return m
     if variant == "skeleton_merge":
         base = c - len(sks)

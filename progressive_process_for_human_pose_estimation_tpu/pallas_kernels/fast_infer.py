@@ -141,7 +141,9 @@ def build_fast_apply(model, variables, residual_impl: str = "hybrid"):
                 stack_out = jnp.concatenate([head_out, sk], axis=-1)
                 return_feed = head_out
             elif variant == "skeleton_from_keypoints_merge":
-                sk = head_out[..., sks[:, 0] + 1] + head_out[..., sks[:, 1] + 1]
+                # no background channel here: sks indexed WITHOUT the +1
+                # (/root/reference/try_skeleton_from_keypoints_merge.py:297)
+                sk = head_out[..., sks[:, 0]] + head_out[..., sks[:, 1]]
                 stack_out = jnp.concatenate([head_out, sk], axis=-1)
                 return_feed = stack_out
             elif variant == "skeleton_merge":

@@ -88,6 +88,14 @@ def _install_stubs() -> None:
         sk.feature = skf
         stubs.update({"skimage": sk, "skimage.feature": skf})
 
+    if "torchviz" not in sys.modules:
+        stubs["torchviz"] = _stub_module("torchviz", make_dot=_unavailable)
+
+    if "graphviz" not in sys.modules:
+        stubs["graphviz"] = _stub_module(
+            "graphviz", Digraph=_unavailable, Graph=_unavailable
+        )
+
     if "pydensecrf" not in sys.modules:
         pd = _stub_module("pydensecrf")
         pdc = _stub_module(

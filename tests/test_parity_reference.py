@@ -30,6 +30,7 @@ from progressive_process_for_human_pose_estimation_tpu.models import (
     ClassicStackedHourglass,
     MaskNet,
     ProgressiveHourglass,
+    ProgressiveRecursiveASPP,
     RefinerD,
     StackedHourglass,
 )
@@ -445,3 +446,277 @@ class TestOnlyOneHourglassSource:
         x = torch.zeros((1, ref.nOutChannels + 3, 64, 64))
         with torch.no_grad(), pytest.raises(Exception):
             tmodel(x)
+
+
+# --------------------------------------------------------------------------
+# try_* family — the recursive weight-shared lineages, real source
+# --------------------------------------------------------------------------
+
+
+def aspp_bare_vars_real(node):
+    """The recursive-hourglass innermost ASPP (try_more_layer.py:258-269):
+    _ASPPModule branches, global_avg_pool Sequential[1:3], BARE project
+    ``conv1``."""
+    params, stats = {}, {}
+    for i in range(1, 5):
+        mod = getattr(node, f"aspp{i}")
+        params[f"aspp{i}"], stats[f"aspp{i}"] = cbr_vars(mod.atrous_conv, mod.bn)
+    params["global_branch"], stats["global_branch"] = cbr_vars(
+        node.global_avg_pool[1], node.global_avg_pool[2])
+    params["project"] = {"conv": t2j_conv(node.conv1)}
+    return params, stats
+
+
+def rec_hourglass_vars_aspp(hg, aspp):
+    """Recursive weight-shared hourglass with per-level shared residual_block.
+
+    ``aspp``: 'used' transfers the innermost level's ASPP (try_more_layer
+    forward, lines 281-290); 'unused' skips the ASPP members the reference
+    constructs at EVERY level but never calls (try_with_aspp.py:263-279,
+    try_different_stack.py — dead parameters with no output effect).
+    """
+    params, stats = {}, {}
+    node = hg
+    while True:
+        params[f"residual_block_n{node.n}"], stats[f"residual_block_n{node.n}"] = (
+            lite_residual_vars(node.residual_block))
+        if node.n > 1:
+            node = node.hourglass1
+        else:
+            if aspp == "used":
+                params["aspp"], stats["aspp"] = aspp_bare_vars_real(node)
+            break
+    return params, stats
+
+
+def plain_stack_vars(m, heads, hourglass=None):
+    """Shared transfer for the conv1/residual1-4/hourglass1/lin/conv* models
+    (try_with_torch.py:264-278 and kin)."""
+    params, stats = {}, {}
+    params["conv1"] = {"conv": t2j_conv(m.conv1)}
+    for name in ["residual1", "residual2", "residual3", "residual4"]:
+        params[name], stats[name] = lite_residual_vars(getattr(m, name))
+    params["hourglass1"], stats["hourglass1"] = (
+        hourglass if hourglass is not None else rec_hourglass_vars(m.hourglass1))
+    params["lin"], stats["lin"] = cbr_vars(m.lin.conv, m.lin.bn)
+    for name in heads:
+        params[name] = {"conv": t2j_conv(getattr(m, name))}
+    return {"params": params, "batch_stats": stats}
+
+
+def catmerge_hourglass_vars_real(hg, prefix=""):
+    """Cat-merge stride hourglass (try_costomer_loss.py:227-263): per level
+    residual_block_stride (down) + residual_block (post-recursion) + conv2
+    (cat-merge 1x1). The maxpool/aspp*/global_avg_pool/conv1/conv3 members
+    are constructed but never called in forward — skipped."""
+    params, stats = {}, {}
+    params[f"{prefix}residual_stride"], stats[f"{prefix}residual_stride"] = (
+        full_residual_vars(hg.residual_block_stride))
+    params[f"{prefix}residual"], stats[f"{prefix}residual"] = (
+        full_residual_vars(hg.residual_block))
+    params[f"{prefix}conv2"] = {"conv": t2j_conv(hg.conv2)}
+    if hg.n > 1:
+        p, s = catmerge_hourglass_vars_real(hg.hourglass1, f"{prefix}inner_")
+        params.update(p)
+        stats.update(s)
+    return params, stats
+
+
+def catmerge_vars_real(m):
+    """try_costomer_loss.py:282-297 / try_with_aspp_remove_max_pool.py:260-275
+    creatModel → GatedRecursiveProgressive."""
+    params, stats = {}, {}
+    stem_p = {"conv1": {"conv": t2j_conv(m.conv1)}}
+    stem_s = {}
+    for name in ["residual1", "residual2", "residual3"]:
+        stem_p[name], stem_s[name] = full_residual_vars(getattr(m, name))
+    params["preprocess1"], stats["preprocess1"] = stem_p, stem_s
+    params["hourglass1"], stats["hourglass1"] = catmerge_hourglass_vars_real(
+        m.hourglass1)
+    params["residual4"], stats["residual4"] = full_residual_vars(m.residual4)
+    params["lin"], stats["lin"] = cbr_vars(m.lin.conv, m.lin.bn)
+    for name in ["conv2_0", "conv4_0", "conv2_1", "conv4_1", "conv2_2"]:
+        params[name] = {"conv": t2j_conv(getattr(m, name))}
+    return {"params": params, "batch_stats": stats}
+
+
+def rec_progressive_vars_real(m, aspp):
+    """try_more_layer.py:315-331 / try_with_aspp.py:298-314 /
+    try_different_stack.py:282-298 creatModel → ProgressiveRecursiveASPP."""
+    params, stats = {}, {}
+    params["conv1"] = {"conv": t2j_conv(m.conv1)}
+    for name in ["residual1", "residual2", "residual3", "residual4"]:
+        params[name], stats[name] = lite_residual_vars(getattr(m, name))
+    params["hourglass1"], stats["hourglass1"] = rec_hourglass_vars_aspp(
+        m.hourglass1, aspp)
+    params["lin"], stats["lin"] = cbr_vars(m.lin.conv, m.lin.bn)
+    for name in ["conv2_0", "conv4_0", "conv2_1", "conv4_1", "conv2_2"]:
+        params[name] = {"conv": t2j_conv(getattr(m, name))}
+    return {"params": params, "batch_stats": stats}
+
+
+def stage_sequential_vars_real(m):
+    """try_remove_background_and_costomer_loss.py:311-337 creatModel →
+    StageSequentialProgressive."""
+    params, stats = {}, {}
+    params["preprocess1"], stats["preprocess1"] = stem_vars(m.preprocess1)
+    for i in [1, 2, 3]:
+        seq = getattr(m, f"stage{i}")
+        params[f"stage{i}"], stats[f"stage{i}"] = catmerge_hourglass_vars_real(
+            seq[0])
+        params[f"stage{i}_residual"], stats[f"stage{i}_residual"] = (
+            full_residual_vars(seq[1]))
+        params[f"stage{i}_out"] = {"conv": t2j_conv(getattr(m, f"stage{i}_out"))}
+    params["stage2_return"] = {"conv": t2j_conv(m.stage2_return)}
+    return {"params": params, "batch_stats": stats}
+
+
+def _run_case(rng, ref, jmodel, got, seed_shape=(1, 128, 128, 3), tol=1e-4):
+    x = rng.standard_normal(seed_shape).astype(np.float32)
+    t_outs = run_torch(ref, x)
+    assert_trees_match(jmodel, x, got)
+    j_outs = jax.jit(lambda v, a: jmodel.apply(v, a))(got, jnp.asarray(x))
+    assert_outputs_close(j_outs, t_outs, tol)
+
+
+class TestTryFamilySource:
+    """One real-source parity test per distinct try_* architecture family
+    (the copy-evolved siblings — try_with_torch_100, try_spilt_part,
+    try_skeleton, try_remove_background — define byte-identical model
+    classes and are covered by their family's test)."""
+
+    def _prep(self, script, seed, rng):
+        ref = load_reference(script)
+        torch.manual_seed(seed)
+        tmodel = ref.creatModel().eval()
+        with torch.no_grad():
+            randomize_bn_stats(tmodel, rng)
+        return ref, tmodel
+
+    def test_try_with_torch_plain_4stack(self, rng):
+        ref, tmodel = self._prep("try_with_torch", 10, rng)
+        jmodel = StackedHourglass(
+            features=ref.nFeats, n_stack=ref.nStack,
+            out_channels=ref.nOutChannels, n_modules=ref.nModules,
+            hourglass_depth=4, use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel,
+                  plain_stack_vars(tmodel, ["conv2", "conv3", "conv4"]))
+
+    def test_try_skeleton_and_keypoints_merge(self, rng):
+        ref, tmodel = self._prep("try_skeleton_and_keypoints", 11, rng)
+        jmodel = StackedHourglass(
+            features=ref.nFeats, n_stack=ref.nStack,
+            out_channels=ref.nOutChannels, n_modules=ref.nModules,
+            variant="skeleton_merge", skeleton=np.asarray(ref.sks),
+            hourglass_depth=4, use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel,
+                  plain_stack_vars(tmodel, ["conv2", "conv3", "conv4"]))
+
+    def test_try_skeleton_from_keypoints(self, rng):
+        ref, tmodel = self._prep("try_skeleton_from_keypoints", 12, rng)
+        jmodel = StackedHourglass(
+            features=ref.nFeats, n_stack=ref.nStack,
+            out_channels=ref.nOutChannels, n_modules=ref.nModules,
+            variant="skeleton_from_keypoints", skeleton=np.asarray(ref.sks),
+            hourglass_depth=4, use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel,
+                  plain_stack_vars(tmodel, ["conv2", "conv3", "conv4"]))
+
+    def test_try_skeleton_from_keypoints_merge(self, rng):
+        ref, tmodel = self._prep("try_skeleton_from_keypoints_merge", 13, rng)
+        jmodel = StackedHourglass(
+            features=ref.nFeats, n_stack=ref.nStack,
+            out_channels=ref.nOutChannels, n_modules=ref.nModules,
+            variant="skeleton_from_keypoints_merge",
+            skeleton=np.asarray(ref.sks),
+            hourglass_depth=4, use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel,
+                  plain_stack_vars(tmodel, ["conv2", "conv3", "conv4"]))
+
+    def test_try_more_layer_aspp_bottleneck(self, rng):
+        ref, tmodel = self._prep("try_more_layer", 14, rng)
+        jmodel = ProgressiveRecursiveASPP(
+            features=ref.nFeats, n_stack=ref.nStack,
+            out_channels=(ref.nOutChannels_0, ref.nOutChannels_1,
+                          ref.nOutChannels_2),
+            n_modules=ref.nModules, hourglass_depth=4, bottleneck="aspp",
+            use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel,
+                  rec_progressive_vars_real(tmodel, aspp="used"))
+
+    def test_try_with_aspp_identity_bottleneck(self, rng):
+        ref, tmodel = self._prep("try_with_aspp", 15, rng)
+        jmodel = ProgressiveRecursiveASPP(
+            features=ref.nFeats, n_stack=ref.nStack,
+            out_channels=(ref.nOutChannels_0, ref.nOutChannels_1,
+                          ref.nOutChannels_2),
+            n_modules=ref.nModules, hourglass_depth=4, bottleneck="identity",
+            use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel,
+                  rec_progressive_vars_real(tmodel, aspp="unused"))
+
+    def test_try_different_stack_modules_bottleneck(self, rng):
+        ref, tmodel = self._prep("try_different_stack", 16, rng)
+        jmodel = ProgressiveRecursiveASPP(
+            features=ref.nFeats, n_stack=ref.nStack,
+            out_channels=(ref.nOutChannels_0, ref.nOutChannels_1,
+                          ref.nOutChannels_2),
+            n_modules=ref.nModules, hourglass_depth=4, bottleneck="modules",
+            use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel,
+                  rec_progressive_vars_real(tmodel, aspp="unused"))
+
+    def test_try_different_stack_without_skeleton_two_stack(self, rng):
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            TwoStackProgressive,
+        )
+
+        ref, tmodel = self._prep("try_different_stack_without_skeleton", 17, rng)
+        jmodel = TwoStackProgressive(
+            features=ref.nFeats,
+            out_channels=(ref.nOutChannels_0, ref.nOutChannels_1),
+            n_modules=ref.nModules, hourglass_depth=4,
+            use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel,
+                  plain_stack_vars(tmodel, ["conv2_0", "conv4_0", "conv2_1"]))
+
+    def test_try_costomer_loss_gated(self, rng):
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            GatedRecursiveProgressive,
+        )
+
+        ref, tmodel = self._prep("try_costomer_loss", 18, rng)
+        jmodel = GatedRecursiveProgressive(
+            features=ref.nFeats,
+            out_channels=(ref.nOutChannels_0, ref.nOutChannels_1,
+                          ref.nOutChannels_2),
+            gate_stage0=True, hourglass_depth=4,
+            use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel, catmerge_vars_real(tmodel))
+
+    def test_try_with_aspp_remove_max_pool_ungated(self, rng):
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            GatedRecursiveProgressive,
+        )
+
+        ref, tmodel = self._prep("try_with_aspp_remove_max_pool", 19, rng)
+        jmodel = GatedRecursiveProgressive(
+            features=ref.nFeats,
+            out_channels=(ref.nOutChannels_0, ref.nOutChannels_1,
+                          ref.nOutChannels_2),
+            gate_stage0=False, hourglass_depth=4,
+            use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel, catmerge_vars_real(tmodel))
+
+    def test_try_remove_background_stage_sequential(self, rng):
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            StageSequentialProgressive,
+        )
+
+        ref, tmodel = self._prep("try_remove_background_and_costomer_loss", 20, rng)
+        jmodel = StageSequentialProgressive(
+            features=ref.nFeats,
+            out_channels=(ref.nOutChannels_0, ref.nOutChannels_1,
+                          ref.nOutChannels_2),
+            hourglass_depth=4, use_running_average=True, dtype=jnp.float32)
+        _run_case(rng, tmodel, jmodel, stage_sequential_vars_real(tmodel))
