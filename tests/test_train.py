@@ -117,14 +117,20 @@ class TestCheckpoint:
         for a, b in zip(l1, l2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_restore_bookkeeping_stays_on_host(self, rng, tmp_path):
+    @pytest.mark.parametrize("donate", [False, True])
+    def test_restore_bookkeeping_stays_on_host(self, rng, tmp_path, donate):
         """epoch/step restore as numpy so resume arithmetic never needs a
         device readback (a D2H of freshly restored buffers can block on the
         remote-TPU tunnel; on any backend it is a pointless sync), and the
-        host scalars must still feed the next jitted step."""
+        host scalars must still feed the next jitted step.
+
+        donate=True covers the production default (make_train_step donates
+        the state): the first post-resume step feeds numpy epoch/step leaves
+        into donated argnums — JAX must accept them (it skips donation for
+        non-device buffers) and the step must still advance."""
         model = tiny_model()
         state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
-        step = make_train_step(model, progressive_objective, donate=False)
+        step = make_train_step(model, progressive_objective, donate=donate)
         state, _ = step(state, tiny_batch(rng))
         path = str(tmp_path / "ckpt_host")
         save_checkpoint(path, state)
