@@ -156,8 +156,79 @@ class Conv(nn.Module):
         )(x)
 
 
+class _TorchBatchNorm(nn.Module):
+    """BatchNorm2d with torch's exact running-stat bookkeeping.
+
+    ``flax.linen.BatchNorm`` EMAs the BIASED batch variance into the running
+    stat; ``torch.nn.BatchNorm2d`` normalizes with the biased variance but
+    EMAs the UNBIASED one (Bessel factor n/(n-1), n = batch*H*W[*replicas]).
+    The reference trains and (for train.py/hourglass_compare.py) evaluates
+    through torch BN (/root/reference/train.py:418-447), so running-average
+    eval parity requires the torch update rule. Variable tree ("scale"/
+    "bias" params, "mean"/"var" batch_stats) is identical to flax's, so
+    existing checkpoints load unchanged.
+    """
+
+    use_running_average: bool = False
+    axis_name: Optional[str] = None
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), self.param_dtype))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), self.param_dtype))
+
+        if self.use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            # Two-pass variance (torch's algorithm), NOT E[x^2]-E[x]^2:
+            # the one-pass form cancels catastrophically in fp32 when
+            # var << mean^2 (e.g. the ASPP global-pool branch where the
+            # spatial extent is 1x1) and measurably breaks train-mode
+            # parity with torch at small feature maps.
+            d = xf - mean
+            var = jnp.mean(jnp.square(d), axes)
+            if self.axis_name is not None:
+                var = jax.lax.pmean(var, self.axis_name)
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = ((1.0 - m) * ra_mean.value + m * mean).astype(
+                    self.param_dtype)
+                ra_var.value = ((1.0 - m) * ra_var.value + m * unbiased).astype(
+                    self.param_dtype)
+
+        # Normalize in the compute dtype (matching flax's cast-then-normalize
+        # so the bf16 serving path fuses exactly as before).
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.epsilon)
+        mul = (inv * scale.astype(jnp.float32)).astype(self.dtype)
+        shift = (bias.astype(jnp.float32)
+                 - mean.astype(jnp.float32) * inv * scale.astype(jnp.float32)
+                 ).astype(self.dtype)
+        return x.astype(self.dtype) * mul + shift
+
+
 class BatchNorm(nn.Module):
-    """torch-default BatchNorm2d (eps 1e-5, torch momentum 0.1)."""
+    """torch-default BatchNorm2d (eps 1e-5, torch momentum 0.1, unbiased
+    running-var update — see :class:`_TorchBatchNorm`)."""
 
     use_running_average: bool = False
     bn_axis_name: Optional[str] = None
@@ -166,10 +237,8 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        return _TorchBatchNorm(
             use_running_average=self.use_running_average,
-            momentum=0.9,
-            epsilon=1e-5,
             axis_name=self.bn_axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -123,3 +123,68 @@ class TestBlocks:
         variables = m.init(jax.random.PRNGKey(0), x)
         y, _ = m.apply(variables, x, mutable=["batch_stats"])
         assert float(jnp.min(y)) >= 0.0
+
+
+class TestBatchNormTorchBookkeeping:
+    """ops.BatchNorm must match torch BatchNorm2d EXACTLY, including the
+    running-stat rule torch uses and flax does not: normalize with the
+    BIASED batch variance but EMA the UNBIASED one (Bessel n/(n-1)).
+    The reference trains and (train.py:991) evaluates through torch BN, so
+    running-average eval parity depends on this bookkeeping."""
+
+    def test_train_forward_and_running_stats(self, rng):
+        from progressive_process_for_human_pose_estimation_tpu.ops.blocks import (
+            BatchNorm,
+        )
+
+        x = rng.standard_normal((4, 8, 8, 16)).astype(np.float32)
+        bn = BatchNorm(use_running_average=False)
+        v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        v = {
+            "params": {"bn": dict(v["params"]["bn"])},
+            "batch_stats": {"bn": dict(v["batch_stats"]["bn"])},
+        }
+        v["params"]["bn"]["scale"] = jnp.asarray(
+            rng.uniform(0.5, 2, 16).astype("f"))
+        v["params"]["bn"]["bias"] = jnp.asarray(
+            rng.normal(0, 0.3, 16).astype("f"))
+        v["batch_stats"]["bn"]["mean"] = jnp.asarray(
+            rng.normal(0, 0.3, 16).astype("f"))
+        v["batch_stats"]["bn"]["var"] = jnp.asarray(
+            rng.uniform(0.5, 2, 16).astype("f"))
+
+        tbn = torch.nn.BatchNorm2d(16)
+        with torch.no_grad():
+            tbn.weight.copy_(torch.from_numpy(np.asarray(v["params"]["bn"]["scale"])))
+            tbn.bias.copy_(torch.from_numpy(np.asarray(v["params"]["bn"]["bias"])))
+            tbn.running_mean.copy_(
+                torch.from_numpy(np.asarray(v["batch_stats"]["bn"]["mean"])))
+            tbn.running_var.copy_(
+                torch.from_numpy(np.asarray(v["batch_stats"]["bn"]["var"])))
+
+        y, upd = bn.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+        tbn.train()
+        ty = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(y), ty.detach().numpy().transpose(0, 2, 3, 1),
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(upd["batch_stats"]["bn"]["mean"]),
+            tbn.running_mean.numpy(), rtol=1e-6, atol=1e-7)
+        # The decisive check: torch EMAs the UNBIASED variance.
+        np.testing.assert_allclose(
+            np.asarray(upd["batch_stats"]["bn"]["var"]),
+            tbn.running_var.numpy(), rtol=1e-6, atol=1e-7)
+
+        # Eval mode consumes the running stats identically.
+        ye = BatchNorm(use_running_average=True).apply(v, jnp.asarray(x))
+        tbn.eval()
+        with torch.no_grad():
+            tbn.running_mean.copy_(
+                torch.from_numpy(np.asarray(v["batch_stats"]["bn"]["mean"])))
+            tbn.running_var.copy_(
+                torch.from_numpy(np.asarray(v["batch_stats"]["bn"]["var"])))
+            tye = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(ye), tye.numpy().transpose(0, 2, 3, 1),
+            rtol=2e-5, atol=2e-5)
