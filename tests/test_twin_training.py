@@ -1,0 +1,47 @@
+"""Twin-training equivalence test (tiny config) — VERDICT r3 item 2.
+
+Trains THREE twins from one shared init on one fixed device-rendered batch
+stream: the reference's REAL train.py creatModel in torch fp32 (its own
+Costomer_CrossEntropyLoss + nn.CrossEntropyLoss objective, Adam eps=1e-4,
+train.py:834/887-890), the same in torch fp64 (the precision CONTROL), and
+this framework's ProgressiveHourglass in fp32.
+
+Train-mode batch-stat BN at small feature maps is chaotically
+ill-conditioned in fp32 (measured: torch-fp32 diverges from torch-fp64 by
+O(1) on raw logits within ONE forward on this config), so equivalence is
+judged against the control: the JAX twin must track torch-fp32 no worse
+than torch-fp32 tracks its own fp64 run (up to a small multiple).
+
+The long-horizon (200-step) version of this run is committed under
+runs_r4/twin_train/ — see ROUND4_NOTES.md.
+"""
+
+import numpy as np
+import pytest
+
+from twin_harness import twin_run
+
+pytestmark = pytest.mark.slow  # full-width (nFeats=256) model, fwd+bwd x3
+
+
+def test_twin_training_tracks_reference(rng):
+    r = twin_run(steps=8, batch_size=2, inputsize=64, n_batches=2,
+                 steps_per_epoch=2, seed=0)
+    t32, t64, jx = r["torch_losses"], r["torch64_losses"], r["jax_losses"]
+    rel_jax = np.abs(t32 - jx) / np.abs(t32)
+    rel_ctl = np.abs(t32 - t64) / np.abs(t32)
+    # The JAX twin's divergence from torch-fp32 must be explained by fp32
+    # conditioning, not semantics: bounded by a small multiple of the
+    # fp64-control divergence (floored to keep the bound meaningful when
+    # the control lands unusually close).
+    bound = max(3.0 * rel_ctl.max(), 1e-3)
+    assert rel_jax.max() < bound, (
+        f"loss divergence {rel_jax.max():.2e} exceeds 3x the fp32 intrinsic "
+        f"noise {rel_ctl.max():.2e}: rel_jax={rel_jax}, rel_ctl={rel_ctl}")
+    assert rel_jax.max() < 0.05, "absolute cap: trajectories must track"
+    # Final .eval()-mode heatmaps: same control-bounded criterion (proves
+    # Adam updates AND torch-rule BN running-stat bookkeeping tracked).
+    hm_bound = max(3.0 * r["control_heatmap_max_abs"], 1e-3)
+    assert r["heatmap_max_abs"] < hm_bound, (
+        f"heatmap gap {r['heatmap_max_abs']:.2e} vs control "
+        f"{r['control_heatmap_max_abs']:.2e}")
