@@ -155,6 +155,17 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--decode-backend", default="pil", choices=["pil", "native"],
                    help="'native' = C++ libjpeg thread-pool batch decoder "
                         "(builds on first use; falls back to pil)")
+    p.add_argument("--max-persons", type=int, default=13,
+                   help="COCO manifest: per-image annotation cap (static "
+                        "shapes need a bound; the reference rasterizes every "
+                        "annotation, train.py:282-324 — raise to cover "
+                        "crowded images, see --strict-manifest)")
+    p.add_argument("--max-vertices", type=int, default=128,
+                   help="COCO manifest: per-polygon vertex cap")
+    p.add_argument("--strict-manifest", action="store_true",
+                   help="error (naming the required caps) instead of "
+                        "silently truncating annotations past "
+                        "--max-persons/--max-vertices")
 
 
 def resolve_experiment(args):
@@ -228,7 +239,9 @@ def _objective_min_channels(objective, req, n_outputs):
     background class). Returns None when no static rule applies."""
     if len(req) == 1:  # LSP schema: Gaussian maps only
         k = req[0]
-        return (k,) * n_outputs if objective == "classic_mse" else None
+        if objective in ("classic_mse", "refine_mse"):
+            return (k,) * n_outputs
+        return None
     sk, kp = req[1], req[-1]
     k = kp - 1
     table = {
@@ -241,6 +254,7 @@ def _objective_min_channels(objective, req, n_outputs):
         "progressive_2stage": (2, k),
         "mask_only": (2,) * n_outputs,
         "classic_mse": (k,) * n_outputs,
+        "refine_mse": (k,) * n_outputs,
         "single_stack_ce": (kp,) * n_outputs,
         # split-channel CE: first 18 channels vs keypoint classes, the rest
         # vs skeleton classes (try_skeleton_and_keypoints.py:423-435).
@@ -313,7 +327,23 @@ def build_loader_from_args(args, shuffle=True, drop_remainder=None):
     elif args.dataset == "coco":
         if not args.coco_json:
             raise SystemExit("--coco-json or --manifest required for dataset=coco")
-        manifest = build_coco_manifest(args.coco_json)
+        manifest = build_coco_manifest(
+            args.coco_json,
+            max_persons=getattr(args, "max_persons", 13),
+            max_vertices=getattr(args, "max_vertices", 128),
+            strict=getattr(args, "strict_manifest", False),
+        )
+        trunc = manifest.get("truncation_counts")
+        if trunc is not None and int(np.sum(trunc)) > 0:
+            print(
+                f"WARNING: COCO manifest truncated {int(trunc[0])} persons / "
+                f"{int(trunc[1])} polygon vertices past the caps "
+                f"(--max-persons {getattr(args, 'max_persons', 13)}, "
+                f"--max-vertices {getattr(args, 'max_vertices', 128)}); "
+                f"labels on those images diverge from the reference's "
+                f"all-annotations render (train.py:282-324). Raise the caps "
+                f"or pass --strict-manifest to fail instead."
+            )
     elif args.dataset == "mpii":
         if not args.mpii_mat:
             raise SystemExit("--mpii-mat or --manifest required for dataset=mpii")

@@ -52,6 +52,27 @@ def parse_args(argv=None):
                         "(pass e.g. 0.2 to require confident peaks)")
     p.add_argument("--crf-iters", type=int, default=10,
                    help="mean-field iterations for --crf")
+    p.add_argument("--crf-window", action="store_true",
+                   help="use the truncated-window CRF approximation instead "
+                        "of the exact dense mean-field. The exact O(N^2) "
+                        "form is the default — on TPU it is two MXU matmuls "
+                        "per iteration at the 64x64 heatmap size and matches "
+                        "pydensecrf's dense pairwise model; the window drops "
+                        "the long-range sxy=67 bilateral (measured gap vs "
+                        "exact at 16x16: mean TV ~0.1, peak TV up to ~0.8 on "
+                        "ambiguous pixels — tests/test_variants.py)")
+    p.add_argument("--refine", action="store_true",
+                   help="refine the final-stage heatmaps through a RefinerD "
+                        "(creatModelD, only_one_hourgless.py:257-283): its "
+                        "input is concat[final heatmaps, /4-downsampled "
+                        "image] (model.py:121-143); the refined output "
+                        "replaces the final stage before decode")
+    p.add_argument("--refine-load", default=None,
+                   help="RefinerD checkpoint for --refine (untrained "
+                        "refiner weights otherwise)")
+    p.add_argument("--refine-out-channels", default=None,
+                   help="RefinerD head channels (default: the base model's "
+                        "final-stage channel count)")
     p.add_argument("--decode", default="argmax",
                    choices=["argmax", "normalized-peak", "nms"],
                    help="keypoint decode: 'argmax' = per-channel argmax + "
@@ -137,6 +158,32 @@ def main(argv=None):
 
     outs = apply_fn({"params": state.params, "batch_stats": state.batch_stats}, x)
     raw_final = outs[-1].astype(jnp.float32)
+
+    if args.refine:
+        # RefinerD pass (creatModelD, only_one_hourgless.py:257-283): input
+        # = concat[final-stage heatmaps, /4-downsampled image]
+        # (model.py:122's nOutChannels+3), output = refined heatmaps that
+        # replace the final stage for decode.
+        import copy
+
+        rargs = copy.copy(args)
+        rargs.preset = "refiner"
+        rargs.out_channels = args.refine_out_channels or raw_final.shape[-1]
+        refiner, refine_apply, _ = build_eval_model_from_args(rargs)
+        h, w = raw_final.shape[1], raw_final.shape[2]
+        img_small = jax.image.resize(x.astype(jnp.float32), (1, h, w, 3),
+                                     "bilinear")
+        rx = jnp.concatenate([raw_final, img_small], axis=-1)
+        rstate = create_train_state(refiner, jax.random.PRNGKey(0), rx)
+        if args.refine_load:
+            rstate = restore_checkpoint(args.refine_load, rstate)
+        refined = refine_apply(
+            {"params": rstate.params, "batch_stats": rstate.batch_stats}, rx)
+        refined = (refined[-1] if isinstance(refined, (list, tuple))
+                   else refined).astype(jnp.float32)
+        outs = list(outs[:-1]) + [refined]
+        raw_final = refined
+
     outs = [jax.nn.softmax(o.astype(jnp.float32), axis=-1) for o in outs]
 
     if args.crf:
@@ -144,6 +191,7 @@ def main(argv=None):
         # input image, then decode from the refined probabilities.
         from progressive_process_for_human_pose_estimation_tpu.eval import (
             dense_crf,
+            dense_crf_exact,
         )
 
         hm = outs[-1][0]
@@ -151,7 +199,10 @@ def main(argv=None):
         img_small = jax.image.resize(
             jnp.asarray(img, jnp.float32), (h, w, 3), "bilinear"
         )
-        refined = dense_crf(img_small, hm, n_iters=args.crf_iters)
+        if args.crf_window:
+            refined = dense_crf(img_small, hm, n_iters=args.crf_iters)
+        else:
+            refined = dense_crf_exact(img_small, hm, n_iters=args.crf_iters)
         outs[-1] = refined[None]
         threshold = 0.0 if args.threshold == 1.0 else args.threshold
         decode_maps = outs[-1]

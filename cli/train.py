@@ -26,9 +26,11 @@ import numpy as np
 from .common import (
     add_data_args,
     add_model_args,
+    build_eval_model_from_args,
     build_loader_from_args,
     build_model_from_args,
     check_heads_match_renderer,
+    infer_preset_experiment,
     resolve_experiment,
 )
 
@@ -74,6 +76,16 @@ def parse_args(argv=None):
     p.add_argument("--async-save", action="store_true",
                    help="overlap checkpoint writes with the next epoch "
                         "(orbax async save)")
+    p.add_argument("--refine-base", default=None,
+                   help="train a RefinerD (creatModelD, only_one_hourgless"
+                        ".py:257-283) on top of this FROZEN base model "
+                        "preset: each batch's input becomes concat[base "
+                        "final-stage heatmaps, /4-downsampled image] "
+                        "(model.py:121-143's nOutChannels+3 input). Use "
+                        "with --preset refiner --objective refine_mse")
+    p.add_argument("--refine-base-load", default=None,
+                   help="checkpoint for the frozen --refine-base model "
+                        "(untrained base weights otherwise)")
     args = p.parse_args(argv)
     if args.save_every < 1:
         p.error("--save-every must be >= 1 (the final epoch is always saved)")
@@ -130,7 +142,65 @@ def main(argv=None):
 
     model = build_model_from_args(args)
     check_heads_match_renderer(model, render_fn, args.preset, args.objective)
-    sample = jnp.zeros((args.batch_size, size, size, 3))
+
+    # RefinerD composition (--refine-base): a FROZEN base model turns each
+    # rendered batch's image into the refiner input concat[final-stage
+    # heatmaps, /4-downsampled image] (creatModelD's nOutChannels+3 input,
+    # /root/reference/only_one_hourgless.py:259, model.py:122). Only the
+    # refiner's TrainState is optimized; the base runs as a jitted
+    # eval-mode forward in its faithful BN mode.
+    refine_compose = None
+    if args.refine_base:
+        import copy
+
+        from progressive_process_for_human_pose_estimation_tpu.train import (
+            restore_checkpoint,
+        )
+
+        bargs = copy.copy(args)
+        bargs.preset = args.refine_base
+        bargs.out_channels = None
+        ebs, _ = infer_preset_experiment(args.refine_base)
+        bargs.eval_bn = "batch" if (ebs if ebs is not None else True) else "running"
+        base_model, base_apply, _ = build_eval_model_from_args(bargs)
+        bstate = create_train_state(
+            base_model, jax.random.PRNGKey(0),
+            jnp.zeros((args.batch_size, size, size, 3)))
+        if args.refine_base_load:
+            bstate = restore_checkpoint(args.refine_base_load, bstate)
+        base_vars = {"params": bstate.params, "batch_stats": bstate.batch_stats}
+        base_oc = base_model.out_channels
+        base_c = base_oc[-1] if isinstance(base_oc, (tuple, list)) else base_oc
+        hm_size = size // 4
+
+        @jax.jit
+        def _compose(variables, images):
+            outs = base_apply(variables, images)
+            hm = (outs[-1] if isinstance(outs, (list, tuple)) else outs)
+            hm = jax.lax.stop_gradient(hm.astype(jnp.float32))
+            small = jax.image.resize(
+                images.astype(jnp.float32),
+                (images.shape[0], hm_size, hm_size, 3), "bilinear")
+            return jnp.concatenate([hm, small], axis=-1)
+
+        def refine_compose(batch):
+            batch = dict(batch)
+            batch["image"] = _compose(base_vars, batch["image"])
+            return batch
+
+        inner_render = render_fn
+
+        class _ComposedRender:
+            staging_size = inner_render.staging_size
+            kind = getattr(inner_render, "kind", None)
+
+            def __call__(self, key, host_batch):
+                return refine_compose(dict(inner_render(key, host_batch)))
+
+        render_fn = _ComposedRender()
+        sample = jnp.zeros((args.batch_size, hm_size, hm_size, base_c + 3))
+    else:
+        sample = jnp.zeros((args.batch_size, size, size, 3))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), sample,
                                args.lr, eps=args.adam_eps)
     if args.load:
@@ -172,7 +242,8 @@ def main(argv=None):
             outs = [outs]
         logger.log_images(
             int(st.step),
-            np.asarray(batch["image"], np.float32),
+            # Refiner batches carry concat[heatmaps, image]; grid the image.
+            np.asarray(batch["image"][..., -3:], np.float32),
             [np.asarray(o, np.float32) for o in outs],
         )
 

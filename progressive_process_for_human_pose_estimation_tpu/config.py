@@ -160,6 +160,24 @@ EXPERIMENTS = {
               "per-sample top-k mean summed over batch) + MSE Gaussians "
               "(try_costomer_loss.py:341-343, 387-390)",
     ),
+    # 64x64 refinement hourglass creatModelD (only_one_hourgless.py:257-283;
+    # Keras original model.py:121-143). The reference defines it twice but
+    # never trains it; this completes the workflow: train with
+    # `cli.train --experiment refiner --refine-base recursive_4stack_coco
+    # [--refine-base-load <ckpt>]`, use with `cli.predict --refine
+    # --refine-load <ckpt>`.
+    "refiner": ExperimentConfig(
+        name="refiner",
+        model_preset="refiner",
+        objective="refine_mse",
+        dataset="coco",
+        batch_size=16,  # only_one_hourgless.py:24
+        epochs=1000,    # only_one_hourgless.py:23
+        augment=False,
+        notes="RefinerD on concat[frozen base heatmaps, /4 image]; MSE vs "
+              "keypoint Gaussians (the Keras DataGenerator's targets, "
+              "model.py:190-210)",
+    ),
     # Plain-CE ablation of the same gated model (try_remove_background.py).
     "remove_background": ExperimentConfig(
         name="remove_background",

@@ -159,6 +159,17 @@ def _presets() -> Dict[str, Callable[..., Any]]:
         ),
         # Person/background mask network (/root/reference/train.py:604-622).
         "masknet": _preset(MaskNet),
+        # 64x64 refinement hourglass ``creatModelD``
+        # (/root/reference/only_one_hourgless.py:257-283; Keras original
+        # model.py:121-143): input = concat[base-model heatmaps,
+        # /4-downsampled image], output = refined heatmaps. The reference
+        # never trains it (and the torch forward is unrunnable as written,
+        # line 280); the completed workflow here follows the Keras lineage —
+        # Gaussian heatmap channels refined with MSE (model.py's
+        # DataGenerator yields per-joint Gaussians). Override
+        # ``--out-channels 18`` + ``--objective single_stack_ce`` for the
+        # class-map lineage (only_one_hourgless.py:22 uses nOutChannels=18).
+        "refiner": _preset(RefinerD, out_channels=N_KEYPOINT_COCO),
     }
 
 

@@ -147,6 +147,20 @@ def progressive_2stage_objective(outputs, batch, epoch):
     return total, {"loss": total, "loss_1": loss_1, "loss_3": loss_3}
 
 
+def refine_mse_objective(outputs, batch, epoch):
+    """RefinerD objective — the completed ``creatModelD`` workflow. The
+    reference defines the refiner twice (/root/reference/only_one_hourgless
+    .py:257-283, model.py:121-143) but never trains it (and the torch
+    forward is unrunnable as written, line 280); the natural objective per
+    the Keras lineage is plain MSE between the refined heatmaps and the
+    per-joint Gaussian targets its DataGenerator produces
+    (model.py:190-210). The train driver composes the refiner's input as
+    concat[frozen base-model heatmaps, /4-downsampled image]
+    (``cli.train --refine-base``)."""
+    total = mse_loss(outputs[0], batch["gauss_maps"])
+    return total, {"loss": total}
+
+
 def mask_only_objective(outputs, batch, epoch):
     """Standalone MaskNet training: CE on the person/background map — the
     reference's generateMask trainer (commented-out but complete:
@@ -167,6 +181,7 @@ OBJECTIVES = {
     "single_stack_ce": single_stack_ce_objective,
     "split_channel": split_channel_objective,
     "masked": masked_objective,
+    "refine_mse": refine_mse_objective,
 }
 
 # Objectives whose loss reads batch["gauss_maps"]. Training drivers skip the
@@ -174,5 +189,5 @@ OBJECTIVES = {
 # plus transfer/sharding of the unused tensor) for every other objective.
 GAUSS_CONSUMERS = frozenset(
     {"classic_mse", "progressive_2stage", "progressive_ce_ce_mse",
-     "ohem_ce_ce_mse", "masked"}
+     "ohem_ce_ce_mse", "masked", "refine_mse"}
 )

@@ -510,3 +510,47 @@ class TestDeviceLossTrace:
         assert not t.prefill({"loss": [1.0, 2.0, 3.0]}, expected_steps=50)
         t.record(50, {"loss": jnp.asarray(9.0)})  # no-op: disabled
         assert t.history() == {}
+
+
+class TestRefinerWorkflow:
+    """creatModelD end-to-end (VERDICT r3 item 4): train a RefinerD on a
+    frozen base model's composed input (cli.train --refine-base), then use
+    it at prediction time (cli.predict --refine --refine-load).
+    Reference: /root/reference/only_one_hourgless.py:257-283 (torch),
+    model.py:121-143 (Keras original, the only lineage with targets)."""
+
+    def test_refiner_train_then_predict(self, tmp_path):
+        from cli import predict, train
+
+        common = [
+            "--features", "16", "--hourglass-depth", "1",
+            "--dtype", "float32", "--input-size", "64",
+        ]
+        ckpt = str(tmp_path / "refiner_ckpt")
+        state = train.main(
+            [
+                "--experiment", "refiner",
+                "--refine-base", "recursive_4stack_coco",
+                "--dataset", "synthetic", "--n-synthetic", "8",
+                "--batch-size", "4", "--epochs", "1", "--log-every", "1",
+                "--save", ckpt,
+            ]
+            + common
+        )
+        assert int(state.epoch) == 1
+        assert os.path.exists(ckpt)
+        # The refiner consumed the composed (base_channels + 3)-channel
+        # input, not the raw image.
+        conv1 = state.params["conv1"]["conv"]["kernel"]
+        assert conv1.shape[2] == 17 + 3
+
+        out = str(tmp_path / "refined.png")
+        predict.main(
+            [
+                "--preset", "recursive_4stack_coco",
+                "--refine", "--refine-load", ckpt,
+                "--out", out,
+            ]
+            + common
+        )
+        assert os.path.exists(out)

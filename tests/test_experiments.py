@@ -45,6 +45,17 @@ def test_experiment_one_step(name):
     objective = OBJECTIVES[cfg.objective]
 
     batch = render_batch(cfg.dataset)
+    if name == "refiner":
+        # The refiner consumes the composed concat[base heatmaps, /4 image]
+        # built by cli.train --refine-base (creatModelD's nOutChannels+3
+        # input, only_one_hourgless.py:259); stand in zero heatmaps here —
+        # the full composition is covered by tests/test_cli.py's
+        # TestRefinerWorkflow.
+        n = batch["image"].shape[0]
+        small = jax.image.resize(batch["image"], (n, SIZE // 4, SIZE // 4, 3),
+                                 "bilinear")
+        hm = jnp.zeros((n, SIZE // 4, SIZE // 4, model.out_channels))
+        batch["image"] = jnp.concatenate([hm, small], axis=-1)
     state = create_train_state(
         model, jax.random.PRNGKey(0), batch["image"], cfg.learning_rate,
         eps=cfg.adam_eps,
