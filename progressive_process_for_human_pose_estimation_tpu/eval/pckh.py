@@ -175,7 +175,7 @@ def pckh_simple(
     head_index: int = 13,
     neck_index: int = 1,
     n_joints: int = 14,
-    bug_compat: bool = False,
+    bug_compat: bool = True,
 ) -> jax.Array:
     """Scalar PCKh@head-neck/2 (/root/reference/only_one_hourgless.py:285-313).
 
@@ -184,7 +184,11 @@ def pckh_simple(
       target_heatmaps: (N, H, W, C) ground-truth Gaussian heatmaps.
       bug_compat: reproduce the reference's copy-paste indexing (both x
         coordinates read from the label map's row at the head's y;
-        only_one_hourgless.py:305-308). Default False = corrected argmax.
+        only_one_hourgless.py:305-308). Default True — the repo-wide
+        convention is bit-faithful by default with the corrected form behind
+        the flag (same as ``always_project``, the polygon corner rule, and
+        hflip-without-relabel); pass ``bug_compat=False`` for the corrected
+        argmax metric (what :func:`pckh_gauss_curve` reports at t=0.5).
     Returns:
       scalar accuracy = correct / total over the batch.
     """

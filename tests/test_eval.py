@@ -203,8 +203,11 @@ class TestPCKhGaussCurve:
         curve = np.asarray(pckh_gauss_curve(jnp.asarray(hm), jnp.asarray(tgt)))
         assert curve.shape == (n, 11)
         # All joints present in every image → the global ratio pckh_simple
-        # computes equals the plain per-image mean.
-        simple = float(pckh_simple(jnp.asarray(hm), jnp.asarray(tgt)))
+        # computes equals the plain per-image mean. Compare the CORRECTED
+        # metric (bug_compat=False): the curve uses real per-joint argmax
+        # geometry, not the reference's head-row indexing slip.
+        simple = float(pckh_simple(jnp.asarray(hm), jnp.asarray(tgt),
+                                   bug_compat=False))
         np.testing.assert_allclose(curve[:, 10].mean(), simple, atol=1e-6)
 
     def test_curve_shape_properties(self, rng):
