@@ -202,15 +202,23 @@ def build_coco_manifest(
     json_path: str,
     max_persons: int = 13,
     max_vertices: int = 128,
+    strict: bool = False,
 ) -> Manifest:
     """person_keypoints_*.json → per-image packed arrays.
 
     Mirrors the reference's annotation handling (train.py:227-246): for each
     annotation keep the FIRST segmentation polygon (``segmentation[0]``) and
     the 17 keypoints; annotations without a polygon list (e.g. RLE crowds)
-    are skipped via the same KeyError/try semantics. Persons beyond
-    ``max_persons`` and vertices beyond ``max_vertices`` are truncated (the
-    counts are recorded so callers can audit truncation).
+    are skipped via the same KeyError/try semantics.
+
+    The reference rasterizes EVERY annotation of an image (train.py:282-324);
+    XLA needs static shapes, so persons beyond ``max_persons`` and vertices
+    beyond ``max_vertices`` are truncated here. To guarantee no silent label
+    divergence on crowded images: pass ``strict=True`` to error instead of
+    truncating (the error names the actual maxima so the caps can be raised
+    to cover the dataset exactly), or raise the caps (CLI:
+    ``--max-persons/--max-vertices/--strict-manifest``). Truncation counts
+    are always recorded in ``truncation_counts``.
     """
     with open(json_path) as f:
         coco = json.load(f)
@@ -226,6 +234,19 @@ def build_coco_manifest(
         by_image.setdefault(ann["image_id"], []).append(ann)
 
     img_ids = sorted(by_image)
+    if strict:
+        need_p = max((len(a) for a in by_image.values()), default=0)
+        need_v = 0
+        for anns in by_image.values():
+            for ann in anns:
+                need_v = max(need_v, len(ann["segmentation"][0]) // 2)
+        if need_p > max_persons or need_v > max_vertices:
+            raise ValueError(
+                f"strict manifest build: dataset needs max_persons >= "
+                f"{need_p} and max_vertices >= {need_v} to rasterize every "
+                f"annotation like the reference (train.py:282-324); got "
+                f"max_persons={max_persons}, max_vertices={max_vertices}. "
+                f"Raise the caps or drop --strict-manifest to truncate.")
     n = len(img_ids)
     names = []
     dims = np.zeros((n, 2), np.int32)  # (h, w)

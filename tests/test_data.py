@@ -343,3 +343,105 @@ class TestSyntheticRenderCache:
         assert calls["n"] == 4  # second epoch fully served from cache
         for a, b in zip(first, second):
             np.testing.assert_array_equal(a, b)
+
+
+def crowded_coco_json(tmp_path, n_people=16):
+    """One image with n_people annotated persons (reference rasterizes ALL
+    of them, train.py:282-324) — each with one visible keypoint at a
+    distinct location and a small triangle polygon."""
+    anns = []
+    for p in range(n_people):
+        kp = np.zeros((17, 3), np.float32)
+        kp[0] = [20 + 30 * (p % 8), 40 + 120 * (p // 8), 2]  # nose, visible
+        x0 = 10.0 + 30 * (p % 8)
+        y0 = 10.0 + 100 * (p // 8)
+        anns.append({
+            "image_id": 1,
+            "keypoints": [float(v) for v in kp.reshape(-1)],
+            "segmentation": [[x0, y0, x0 + 20, y0, x0 + 10, y0 + 20]],
+        })
+    data = {
+        "images": [{"id": 1, "file_name": "c.jpg", "height": 256,
+                    "width": 256}],
+        "annotations": anns,
+        "categories": [
+            {"name": "person", "skeleton": (COCO_SKELETON + 1).tolist()}
+        ],
+    }
+    p = tmp_path / "crowded.json"
+    p.write_text(json.dumps(data))
+    return str(p)
+
+
+class TestCocoCrowding:
+    """No silent label divergence on crowded images (VERDICT r3 item 7):
+    the default caps truncate and must say so; raised caps reproduce the
+    reference's every-annotation render; --strict errors with the exact
+    caps the dataset needs."""
+
+    def test_strict_names_required_caps(self, tmp_path):
+        path = crowded_coco_json(tmp_path, n_people=16)
+        with pytest.raises(ValueError, match="max_persons >= 16"):
+            build_coco_manifest(path, strict=True)
+        # strict passes once the caps cover the dataset
+        m = build_coco_manifest(path, max_persons=16, strict=True)
+        assert int(m["n_persons"][0]) == 16
+
+    def test_truncation_counted_and_labels_differ(self, tmp_path):
+        path = crowded_coco_json(tmp_path, n_people=16)
+        m13 = build_coco_manifest(path)  # default caps
+        m16 = build_coco_manifest(path, max_persons=16)
+        assert int(m13["truncation_counts"][0]) == 3
+        assert int(m16["truncation_counts"][0]) == 0
+
+        def render(m):
+            # augment-free render at the manifest's native size: keypoints
+            # land at their exact /4 pixels.
+            fn = make_coco_batch_fn(m["skeleton"], inputsize=256,
+                                    augment=False)
+            img = jnp.zeros((1, 256, 256, 3), jnp.float32)
+            return fn(
+                jax.random.PRNGKey(0), img,
+                jnp.asarray(m["keypoints"][:1]),
+                jnp.asarray(m["polygons"][:1]),
+                jnp.asarray(m["n_vertices"][:1]),
+                jnp.asarray(m["n_persons"][:1]),
+                jnp.asarray(m["image_dims"][:1]),
+            )
+
+        full = render(m16)
+        capped = render(m13)
+        kp_full = np.asarray(full["keypoint_map"][0])
+        kp_capped = np.asarray(capped["keypoint_map"][0])
+        # The unbounded render contains every person's nose pixel ...
+        for p in range(16):
+            x, y = (20 + 30 * (p % 8)) // 4, (40 + 120 * (p // 8)) // 4
+            assert kp_full[y, x] == 1, f"person {p} missing from full render"
+        # ... the default-cap render lost persons 13-15 (distinct pixels).
+        lost = [(20 + 30 * (p % 8), 40 + 120 * (p // 8)) for p in (13, 14, 15)]
+        for x, y in lost:
+            assert kp_capped[y // 4, x // 4] == 0
+        assert (kp_full != kp_capped).sum() == 3
+
+    def test_vertex_cap_strict(self, tmp_path):
+        ring = []
+        for i in range(200):  # 200-vertex polygon > default 128 cap
+            a = 2 * np.pi * i / 200
+            ring += [128 + 50 * np.cos(a), 128 + 50 * np.sin(a)]
+        data = {
+            "images": [{"id": 1, "file_name": "c.jpg", "height": 256,
+                        "width": 256}],
+            "annotations": [{
+                "image_id": 1,
+                "keypoints": [0.0] * 51,
+                "segmentation": [ring],
+            }],
+        }
+        p = tmp_path / "verts.json"
+        p.write_text(json.dumps(data))
+        with pytest.raises(ValueError, match="max_vertices >= 200"):
+            build_coco_manifest(str(p), strict=True)
+        m = build_coco_manifest(str(p))
+        assert int(m["truncation_counts"][1]) == 200 - 128
+        m_ok = build_coco_manifest(str(p), max_vertices=200, strict=True)
+        assert int(m_ok["n_vertices"][0, 0]) == 200
