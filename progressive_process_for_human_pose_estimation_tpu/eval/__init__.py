@@ -1,4 +1,4 @@
-from .crf import dense_crf  # noqa: F401
+from .crf import dense_crf, dense_crf_exact  # noqa: F401
 from .decode import argmax_decode, local_max_nms, normalized_peak_decode  # noqa: F401
 from .pckh import (  # noqa: F401
     PCKH_THRESHOLDS,
