@@ -369,5 +369,7 @@ def main():
 if __name__ == "__main__":
     import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.dirname(here))  # repo root (the package)
+    sys.path.insert(0, here)  # tests/ (reference_source, parity transfer)
     main()
