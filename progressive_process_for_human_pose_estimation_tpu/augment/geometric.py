@@ -66,10 +66,16 @@ def augment_image(
 
     Args:
       image: (H, W, 3) float image in [0, 1].
-      method: 'nearest' or 'bilinear' source sampling. (PIL's antialiased
-        bicubic is intentionally not replicated: image resampling parity is
-        not part of the label/metric parity contract — see SURVEY.md §7 —
-        and area-resampling is a poor fit for a single fused gather.)
+      method: 'nearest' or 'bilinear' source sampling. NOTE: on the DEFAULT
+        pipeline the image path is PIL-EXACT regardless of this choice —
+        HostLoader stages with PIL's own ``resize`` (the reference's
+        Rescale call, train.py:122) and passes a rescale-identity source
+        here (src == rescale_size, data/pipeline.py:77-84), so every sample
+        lands on integer coordinates and bilinear weights collapse to exact
+        pixel copies for the crop+flip (pinned byte-for-byte against the
+        imported reference transforms in tests/test_augment.py::
+        TestImagePathPILParity). ``method`` only matters when callers feed
+        a non-staged source of a different size.
     Returns:
       (crop_size, crop_size, 3) augmented image.
     """
