@@ -195,6 +195,62 @@ def int8_bench():
     )
 
 
+def zoo_bench():
+    """Model-zoo throughput table (VERDICT r3 item 8): EVERY EXPERIMENTS
+    preset measured on the CURRENT harness in one session — faithful
+    eval-BN mode per experiment, 256x256, batch 8, bf16; running-stat
+    models additionally measured with the folded tail where the family
+    supports it. Replaces the stale round-1 figures in BASELINE.md.
+    Match: /root/reference/hourglass_compare.py:1263-1273 (the reference's
+    own latency loop)."""
+    from progressive_process_for_human_pose_estimation_tpu.config import (
+        EXPERIMENTS,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.models import (
+        build_model,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.train import (
+        make_eval_apply,
+    )
+
+    batch = 8
+    seen = set()
+    for name, cfg in sorted(EXPERIMENTS.items()):
+        if cfg.model_preset in seen:
+            continue
+        seen.add(cfg.model_preset)
+        if cfg.model_preset == "refiner":
+            # creatModelD runs at heatmap scale on concat[18ch + image].
+            x = jax.random.normal(
+                jax.random.PRNGKey(1), (batch, 64, 64, 20), jnp.bfloat16)
+        else:
+            x = jax.random.normal(
+                jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
+
+        def measure(**kw):
+            model = build_model(
+                cfg.model_preset,
+                use_running_average=not cfg.eval_batch_stats, **kw)
+            variables = model.init(jax.random.PRNGKey(0), x)
+            apply_fn = make_eval_apply(model, cfg.eval_batch_stats)
+            ips, _ = timed_throughput(
+                lambda xx: apply_fn(variables, xx), x, batch, n_lo=4, n_hi=40)
+            return ips
+
+        row = {
+            "preset": cfg.model_preset,
+            "experiment": name,
+            "eval_bn": "batch" if cfg.eval_batch_stats else "running",
+            "img_per_sec": round(measure(), 1),
+        }
+        if not cfg.eval_batch_stats:
+            try:
+                row["img_per_sec_folded"] = round(measure(fold_tail=True), 1)
+            except TypeError:
+                pass  # family without a foldable tail
+        print(json.dumps(row), flush=True)
+
+
 def main(fused_eval=False, fold_tail=False):
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
@@ -225,6 +281,24 @@ def main(fused_eval=False, fold_tail=False):
 if __name__ == "__main__":
     if "--roofline" in sys.argv:
         roofline()
+    elif "--budget" in sys.argv or "--budget-bwd" in sys.argv:
+        # Per-segment millisecond budget of the flagship (ROUND3_NOTES
+        # table); --budget-bwd times fwd+bwd per segment (VERDICT r3 item 9).
+        from progressive_process_for_human_pose_estimation_tpu.bench.components import (
+            flagship_budget,
+        )
+
+        flagship_budget(backward="--budget-bwd" in sys.argv)
+    elif "--zoo" in sys.argv:
+        zoo_bench()
+    elif "--glue-dma" in sys.argv:
+        # DMA-roofline accounting of the zero-FLOP pool/upsample glue
+        # (VERDICT r3 item 3 evidence).
+        from progressive_process_for_human_pose_estimation_tpu.bench.components import (
+            glue_dma_table,
+        )
+
+        glue_dma_table()
     elif "--train-sweep" in sys.argv:
         train_sweep()
     elif "--train" in sys.argv:

@@ -130,8 +130,88 @@ def measure_int8_conv_peak(
     return 2 * batch * hw * hw * ch * ch * k * k / dt / 1e12
 
 
-def flagship_budget(batch: int = 8, features: int = 256, peak_tflops: float = 191.5):
+def measure_hbm_peak(mbytes: int = 256, dtype=jnp.bfloat16) -> float:
+    """Achievable HBM bandwidth (GB/s) via a large out-of-VMEM elementwise
+    add: y = a + b moves 3x the array bytes (read a, read b, write y).
+
+    Both arrays are passed as jit PARAMETERS — a closed-over device array
+    becomes a compile-time constant embedded in the HLO, and at 256 MB that
+    blows the axon tunnel's remote-compile request limit (HTTP 413)."""
+    n = mbytes * 2**20 // jnp.dtype(dtype).itemsize
+    a = jax.random.normal(jax.random.PRNGKey(0), (n,), dtype)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n,), dtype)
+    dt = time_fn(lambda x, y: x + y, a, b, n_lo=4, n_hi=40)
+    return 3 * n * jnp.dtype(dtype).itemsize / dt / 1e9
+
+
+def glue_dma_table(batch: int = 8, features: int = 256):
+    """DMA-roofline accounting of the flagship's zero-FLOP glue (VERDICT r3
+    item 3 closure evidence): for each pool / upsample / upsample+add at
+    each level, bytes moved (reads + writes at bf16) vs measured time vs the
+    measured HBM bandwidth. measured/roofline ~ 1 => the op is
+    bandwidth-bound and no kernel can beat it; >> 1 => a fused Pallas
+    kernel has headroom. Also times the FUSED consumer pattern
+    (upsample + skip-add, what the decoder executes,
+    /root/reference/only_one_hourgless.py:193-196) to show what XLA's own
+    fusion already achieves in-graph."""
+    import json as _json
+
+    from ..ops.resize import (
+        max_pool_2x2,
+        upsample2x_bilinear_align_corners,
+    )
+
+    f = features
+    bw = float(measure_hbm_peak())
+    print(_json.dumps({"measured_hbm_gb_s": round(bw, 1)}), flush=True)
+    key = jax.random.PRNGKey(0)
+    itemsize = 2  # bf16
+
+    def row(name, dt, bytes_moved, count):
+        roof_ms = bytes_moved / (bw * 1e9) * 1e3
+        print(_json.dumps({
+            "op": name,
+            "ms_each": round(dt * 1e3, 4),
+            "bytes_mb": round(bytes_moved / 2**20, 2),
+            "dma_roofline_ms": round(roof_ms, 4),
+            "measured_over_roofline": round(dt * 1e3 / max(roof_ms, 1e-9), 2),
+            "count_per_batch": count,
+            "ms_total": round(dt * 1e3 * count, 3),
+        }), flush=True)
+
+    for hw in (64, 32, 16, 8):
+        x = jax.random.normal(key, (batch, hw, hw, f), jnp.bfloat16)
+        small = jax.random.normal(key, (batch, hw // 2, hw // 2, f), jnp.bfloat16)
+
+        dt = time_fn(max_pool_2x2, x, n_lo=64, n_hi=2112)
+        nbytes = batch * f * itemsize * (hw * hw + hw * hw // 4)
+        row(f"maxpool_{hw}", dt, nbytes, 8)
+
+        dt = time_fn(upsample2x_bilinear_align_corners, small, n_lo=64, n_hi=2112)
+        nbytes = batch * f * itemsize * (hw * hw // 4 + hw * hw)
+        row(f"upsample_{hw // 2}to{hw}", dt, nbytes, 8)
+
+        def up_add(lo, skip=x):
+            return upsample2x_bilinear_align_corners(lo) + skip
+
+        dt = time_fn(up_add, small, n_lo=64, n_hi=2112)
+        nbytes = batch * f * itemsize * (hw * hw // 4 + 2 * hw * hw)
+        row(f"upsample+add_{hw // 2}to{hw}", dt, nbytes, 8)
+
+
+def flagship_budget(batch: int = 8, features: int = 256,
+                    peak_tflops: float = 191.5, backward: bool = False):
     """Per-segment millisecond budget of the 8-stack flagship at batch 8.
+
+    ``backward=True`` times each segment as a full fwd+bwd (value_and_grad
+    of the summed output w.r.t. BOTH params and input, train-mode BN with
+    mutable batch stats — what one training step actually executes per
+    segment), against a 3x-forward FLOP roofline (conv backward = input-grad
+    conv + weight-grad conv, each the forward's FLOPs). This is the
+    VERDICT-r3 item-9 deliverable: the per-segment accounting of where the
+    28.4 ms `remat_policy='dots'` training step goes. remat adds recompute
+    of the non-dot glue on top of these no-remat numbers; the SUM row vs
+    the measured step time closes that attribution.
 
     Measures each distinct compute segment the model executes (residual pair
     per spatial level, pool/upsample glue, stem, head/merge/return convs)
@@ -158,10 +238,29 @@ def flagship_budget(batch: int = 8, features: int = 256, peak_tflops: float = 19
 
     f = features
     key = jax.random.PRNGKey(0)
+    # Backward segments run train-mode BN (batch stats, mutable updates) and
+    # time grad w.r.t. params AND input — what the training step executes.
+    bn_kw = dict(use_running_average=not backward, dtype=jnp.bfloat16)
 
     def timed_apply(module, shape, n_lo=64, n_hi=576):
         x = jax.random.normal(key, shape, jnp.bfloat16)
         variables = module.init(jax.random.PRNGKey(1), x)
+        if backward:
+            if n_lo >= 64:  # fwd+bwd segments are ~3x: keep spans sane
+                n_lo, n_hi = n_lo // 2, n_hi // 2
+            params = variables.get("params", {})
+            stats = variables.get("batch_stats", {})
+
+            def fb(xx):
+                def loss(p, xi):
+                    out, _ = module.apply(
+                        {"params": p, "batch_stats": stats}, xi,
+                        mutable=["batch_stats"])
+                    return jnp.sum(out.astype(jnp.float32))
+
+                return jax.value_and_grad(loss, argnums=(0, 1))(params, xx)
+
+            return time_fn(fb, x, n_lo=n_lo, n_hi=n_hi)
         return time_fn(lambda xx: module.apply(variables, xx), x,
                        n_lo=n_lo, n_hi=n_hi)
 
@@ -170,12 +269,15 @@ def flagship_budget(batch: int = 8, features: int = 256, peak_tflops: float = 19
 
         @nn.compact
         def __call__(self, x):
-            kw = dict(use_running_average=True, dtype=jnp.bfloat16)
-            x = ResidualBlockLite(self.feats, **kw)(x)
-            return ResidualBlockLite(self.feats, **kw)(x)
+            x = ResidualBlockLite(self.feats, **bn_kw)(x)
+            return ResidualBlockLite(self.feats, **bn_kw)(x)
 
     res_flops = 2 * (f * f // 2 + 9 * (f // 2) ** 2 + (f // 2) * f)  # per px
     rows = []
+
+    # Backward roofline: input-grad conv + weight-grad conv, each the
+    # forward's FLOPs → fwd+bwd = 3x forward.
+    flop_scale = 3 if backward else 1
 
     def add(name, dt, flops, count):
         rows.append({
@@ -183,7 +285,8 @@ def flagship_budget(batch: int = 8, features: int = 256, peak_tflops: float = 19
             "ms_each": round(dt * 1e3, 4),
             "count_per_batch": count,
             "ms_total": round(dt * 1e3 * count, 3),
-            "roofline_ms_total": round(flops * count / (peak_tflops * 1e12) * 1e3, 3),
+            "roofline_ms_total": round(
+                flops * flop_scale * count / (peak_tflops * 1e12) * 1e3, 3),
         })
 
     # Residual pairs per spatial level. Counts per stack: 64²×2 (level-1 up1
@@ -197,14 +300,20 @@ def flagship_budget(batch: int = 8, features: int = 256, peak_tflops: float = 19
     def pool_up(x):
         return upsample2x_bilinear_align_corners(max_pool_2x2(x))
 
+    def pool_up_fb(x):
+        return jax.value_and_grad(
+            lambda xi: jnp.sum(pool_up(xi).astype(jnp.float32)))(x)
+
+    glue_fn = pool_up_fb if backward else pool_up
     for hw, cnt in ((64, 8), (32, 8), (16, 8), (8, 8)):
         x = jax.random.normal(key, (batch, hw, hw, f), jnp.bfloat16)
-        dt = time_fn(pool_up, x, n_lo=64, n_hi=2112)
+        dt = time_fn(glue_fn, x, n_lo=32 if backward else 64,
+                     n_hi=1056 if backward else 2112)
         add(f"pool+up_{hw}x{hw}", dt, 0, cnt)
 
     # Per-stack head group: lin (1×1 ConvBNReLU), head conv 256→38, merge
     # (38×38 matmul), return convs 256→256 + 38→256.
-    lin = ConvBNReLU(f, 1, use_running_average=True, dtype=jnp.bfloat16)
+    lin = ConvBNReLU(f, 1, **bn_kw)
     dt = timed_apply(lin, (batch, 64, 64, f), n_lo=64, n_hi=576)
     add("lin_1x1_64x64", dt, 2 * batch * 64 * 64 * f * f, 8)
 
@@ -214,10 +323,16 @@ def flagship_budget(batch: int = 8, features: int = 256, peak_tflops: float = 19
 
     m = jax.random.normal(key, (38, 38), jnp.bfloat16)
     x38 = jax.random.normal(key, (batch, 64, 64, 38), jnp.bfloat16)
-    dt = time_fn(
-        lambda xx: jax.lax.dot_general(xx, m, (((3,), (0,)), ((), ()))),
-        x38, n_lo=64, n_hi=2112,
-    )
+
+    def merge(xx):
+        return jax.lax.dot_general(xx, m, (((3,), (0,)), ((), ())))
+
+    merge_fn = (
+        (lambda xx: jax.value_and_grad(
+            lambda xi: jnp.sum(merge(xi).astype(jnp.float32)))(xx))
+        if backward else merge)
+    dt = time_fn(merge_fn, x38, n_lo=32 if backward else 64,
+                 n_hi=1056 if backward else 2112)
     add("merge_38x38", dt, 2 * batch * 64 * 64 * 38 * 38, 8)
 
     ret_ll = Conv(f, 1, 1, 0, dtype=jnp.bfloat16)
@@ -232,13 +347,12 @@ def flagship_budget(batch: int = 8, features: int = 256, peak_tflops: float = 19
     class StemSeg(nn.Module):
         @nn.compact
         def __call__(self, x):
-            kw = dict(use_running_average=True, dtype=jnp.bfloat16)
             y = Conv(64, 7, 2, 3, dtype=jnp.bfloat16)(x)
             y = nn.relu(y)
-            y = ResidualBlockLite(128, **kw)(y)
+            y = ResidualBlockLite(128, **bn_kw)(y)
             y = max_pool_2x2(y)
-            y = ResidualBlockLite(128, **kw)(y)
-            return ResidualBlockLite(f, **kw)(y)
+            y = ResidualBlockLite(128, **bn_kw)(y)
+            return ResidualBlockLite(f, **bn_kw)(y)
 
     dt = timed_apply(StemSeg(), (batch, 256, 256, 3), n_lo=32, n_hi=288)
     stem_flops = 2 * batch * (
@@ -252,9 +366,14 @@ def flagship_budget(batch: int = 8, features: int = 256, peak_tflops: float = 19
     total_ms = sum(r["ms_total"] for r in rows)
     for r in rows:
         print(_json.dumps(r), flush=True)
+    note = ("whole-step ms/batch at 281.5 img/s (remat dots, batch 8): 28.4 "
+            "(remat adds non-dot recompute on top of these no-remat "
+            "segments; Adam+BN-update epilogue not in any segment)"
+            if backward else
+            "whole-model ms/batch at the headline rate: ~5.4 (1483 img/s "
+            "at batch 8)")
     print(_json.dumps({"segment": "SUM", "ms_total": round(total_ms, 3),
-                       "note": "whole-model ms/batch at the headline rate: "
-                               "~5.4 (1483 img/s at batch 8)"}), flush=True)
+                       "note": note}), flush=True)
     return rows
 
 

@@ -206,8 +206,15 @@ def _polygon_mask_single(
 
     Known divergence: PIL's corner rule is additionally gated on an
     insertion-order parity quirk (it is skipped when an unrelated edge
-    interleaves in its scan array); we apply it unconditionally. Fuzzing
-    (tests) shows sub-0.1% pixel divergence on random polygons.
+    interleaves in its scan array); we apply it unconditionally. Measured
+    (round 4, 600 random star polygons at 64x64): 11/600 polygons diverge,
+    12 pixels total (~5e-5 pixel rate), each 1-2 px adjacent to SOME vertex
+    (not preferentially the wrap vertex 0, so the gate is not a simple
+    wrap-edge condition). Reproducing it exactly would require emulating
+    PIL's per-scanline edge-array construction ORDER, which this
+    order-free histogram formulation cannot express without a per-vertex
+    sort — rejected for a 5e-5-rate effect with no observed impact on any
+    label or metric test.
 
     Rather than sorting, we use an order-statistics identity: with
     L = #(intersections, with multiplicity, < x + 0.5),
