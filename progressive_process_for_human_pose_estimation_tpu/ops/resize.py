@@ -90,8 +90,19 @@ def upsample2x_bilinear_align_corners(x: jax.Array) -> jax.Array:
 def max_pool_2x2(x: jax.Array) -> jax.Array:
     """``nn.MaxPool2d(2, 2)`` on NHWC: non-overlapping 2x2 max windows.
 
-    reduce_window wins over reshape+max on TPU for this layout (measured
-    0.67 ms vs 1.43 ms at 64x64x256, batch 64).
+    Formulation settled by the round-4 maxpool attack (ROUND4_NOTES), which
+    measured BOTH in isolation and end-to-end on chip. In per-op isolation
+    a strided-slice form (``max(x[:,:,0::2], x[:,:,1::2])`` then rows) beats
+    reduce_window at every flagship level — 0.0562 vs 0.0683 ms @64²,
+    0.0120 vs 0.0536 @32², 0.0034 vs 0.0650 @16² (batch 8, 256 ch) — i.e.
+    reduce_window standalone has a fixed-overhead pathology at small
+    spatial. But in the FULL flagship graph the ranking inverts:
+    reduce_window 1540.7 vs strided 1478.4 img/s median over 4 interleaved
+    same-session reps (non-overlapping ranges, ~4%). XLA fuses the
+    reduce_window into the surrounding convs, so the isolated glue
+    milliseconds never appear in context, while the strided slices force
+    worse layouts. Kept: reduce_window. (The round-2 note's reshape+max
+    alternative loses to both.)
     """
     return jax.lax.reduce_window(
         x,

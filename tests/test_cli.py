@@ -447,6 +447,7 @@ class TestSplitChannelScoring:
 
 
 class TestPerStepLossHistory:
+    @pytest.mark.slow  # ~2 min: trains with per-step trace + resume
     def test_checkpoint_records_every_step_and_resumes(self, tmp_path):
         """The reference saves per-STEP loss record arrays inside every
         checkpoint (try_with_aspp.py:359-421); the device-side trace must

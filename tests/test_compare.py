@@ -4,6 +4,10 @@ presets, checkpoint both, run cli.compare over the same batches, get both
 detection-rate curves. Plus cli.graph and the mask-gated cli.predict flow
 (/root/reference/train.py:1005-1038) as smokes."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # trains/compares real checkpoints; the suite's heaviest file
+
 import os
 
 import numpy as np

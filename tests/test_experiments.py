@@ -38,6 +38,7 @@ def render_batch(dataset: str, batch: int = 2):
     return dict(render(jax.random.PRNGKey(0), next(iter(loader))))
 
 
+@pytest.mark.slow  # full hourglass-depth models; ~10 min across the registry
 @pytest.mark.parametrize("name", sorted(EXPERIMENTS))
 def test_experiment_one_step(name):
     cfg = EXPERIMENTS[name]

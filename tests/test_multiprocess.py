@@ -19,6 +19,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # two OS processes + Gloo; ~3 min on the 1-core box
+
 
 def _free_port():
     s = socket.socket()

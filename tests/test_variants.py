@@ -1,6 +1,7 @@
 """Tests for the later-added model variants and CRF refinement."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +94,7 @@ class TestDenseCRFExact:
                 probs[i, j, labels[i, j]] = rng.uniform(0.6, 0.95)
         return probs / probs.sum(-1, keepdims=True)
 
+    @pytest.mark.slow  # ~2.5 min compile (full-support window)
     def test_windowed_full_radius_equals_exact(self, rng):
         """radius >= map extent makes the window cover every pair: the two
         implementations must agree to fp32 tolerance. This cross-validates
