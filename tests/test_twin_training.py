@@ -45,3 +45,57 @@ def test_twin_training_tracks_reference(rng):
     assert r["heatmap_max_abs"] < hm_bound, (
         f"heatmap gap {r['heatmap_max_abs']:.2e} vs control "
         f"{r['control_heatmap_max_abs']:.2e}")
+
+
+def test_classic_twin_training_tracks_reference(rng):
+    """Same three-twin criterion for the classic Newell baseline: the REAL
+    hourglass_compare.py:546 creatModel under Adam(1e-4, eps=1e-4) +
+    per-stack MSE on the 16-ch MPII Gaussian targets (the runnable intent
+    of hourglass_compare.py:936-941 — see twin_harness.run_torch_twin_classic
+    on why the literal branches cannot run) vs the classic_baseline
+    production path. Long run committed under runs_r4/twin_train_classic/."""
+    from twin_harness import twin_run_classic
+
+    r = twin_run_classic(steps=8, batch_size=2, inputsize=64, n_batches=2,
+                         seed=0)
+    t32, t64, jx = r["torch_losses"], r["torch64_losses"], r["jax_losses"]
+    rel_jax = np.abs(t32 - jx) / np.abs(t32)
+    rel_ctl = np.abs(t32 - t64) / np.abs(t32)
+    bound = max(3.0 * rel_ctl.max(), 1e-3)
+    assert rel_jax.max() < bound, (
+        f"loss divergence {rel_jax.max():.2e} exceeds 3x the fp32 intrinsic "
+        f"noise {rel_ctl.max():.2e}: rel_jax={rel_jax}, rel_ctl={rel_ctl}")
+    assert rel_jax.max() < 0.05, "absolute cap: trajectories must track"
+    hm_bound = max(3.0 * r["control_heatmap_max_abs"], 1e-3)
+    assert r["heatmap_max_abs"] < hm_bound, (
+        f"heatmap gap {r['heatmap_max_abs']:.2e} vs control "
+        f"{r['control_heatmap_max_abs']:.2e}")
+
+
+def test_classic_train_branch_unrunnable():
+    """Pin the provenance finding behind the classic twin's objective: the
+    reference's classic training loop cannot run against EITHER of its own
+    dataset branches as written, so per-stack MSE on the Gaussian maps is
+    the runnable intent, not a reinterpretation.
+
+    - COCO branch: the dataset returns 17-ch Gauss maps
+      (/root/reference/hourglass_compare.py:286 — ``np.zeros([17, ...])``)
+      while every head emits 16 channels (hourglass_compare.py:566);
+      nn.MSELoss raises on the non-broadcastable shapes.
+    - MPII branch: y_keypoints is the INTEGER ellipse class map
+      (hourglass_compare.py:763-765 returns Label_keypoints ``.long()``,
+      not the Gauss_map it builds at 713-737); MSELoss rejects a Long
+      target outright.
+    """
+    import torch
+    import torch.nn as tnn
+
+    mse = tnn.MSELoss()
+    out_16ch = torch.randn(2, 16, 64, 64)
+    coco_target_17ch = torch.zeros(2, 17, 64, 64)
+    with pytest.raises(RuntimeError):
+        mse(out_16ch, coco_target_17ch)
+    mpii_target_classmap = torch.zeros(2, 64, 64).long()
+    with pytest.raises(RuntimeError):
+        loss = mse(out_16ch, mpii_target_classmap)
+        loss.backward()

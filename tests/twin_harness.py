@@ -38,11 +38,14 @@ def _reference():
     return load_reference("train")
 
 
-def make_stream(n_batches: int, batch_size: int, inputsize: int, seed: int):
+def make_stream(n_batches: int, batch_size: int, inputsize: int, seed: int,
+                render_gauss: bool = False):
     """Fixed MPII-schema batches rendered by the framework's own device
     renderer (data/pipeline.make_mpii_batch_fn — ellipse keypoints, line
     skeletons, head rects in map space), dumped to numpy so both twins
-    consume byte-identical data."""
+    consume byte-identical data.  ``render_gauss`` additionally renders the
+    classic baseline's 16-ch unnormalized σ=1 Gaussian targets
+    (/root/reference/hourglass_compare.py:713-737) for the classic twin."""
     import jax.numpy as jnp
 
     from progressive_process_for_human_pose_estimation_tpu.data.pipeline import (
@@ -52,7 +55,9 @@ def make_stream(n_batches: int, batch_size: int, inputsize: int, seed: int):
     ref = _reference()
     sks = np.asarray(ref.sks)  # MPII 15-edge skeleton
     n_joints = ref.nKeypoint_MPII
-    render = make_mpii_batch_fn(skeleton=sks, inputsize=inputsize)
+    render = make_mpii_batch_fn(
+        skeleton=sks, inputsize=inputsize, render_gauss=render_gauss
+    )
 
     rng = np.random.default_rng(seed)
     stream = []
@@ -77,14 +82,15 @@ def make_stream(n_batches: int, batch_size: int, inputsize: int, seed: int):
         b = render(
             jnp.asarray(images), jnp.asarray(kps), jnp.asarray(rects), jnp.asarray(src)
         )
-        stream.append(
-            {
-                "image": np.asarray(b["image"], np.float32),
-                "keypoint_map": np.asarray(b["keypoint_map"], np.int32),
-                "skeleton_map": np.asarray(b["skeleton_map"], np.int32),
-                "head_rect": np.asarray(b["head_rect"], np.float32),
-            }
-        )
+        out = {
+            "image": np.asarray(b["image"], np.float32),
+            "keypoint_map": np.asarray(b["keypoint_map"], np.int32),
+            "skeleton_map": np.asarray(b["skeleton_map"], np.int32),
+            "head_rect": np.asarray(b["head_rect"], np.float32),
+        }
+        if render_gauss:
+            out["gauss_maps"] = np.asarray(b["gauss_maps"], np.float32)
+        stream.append(out)
     return stream
 
 
@@ -253,6 +259,205 @@ def eval_twins(ref, tmodel, state, stream):
     }
 
 
+def _reference_classic():
+    from reference_source import load_reference
+
+    return load_reference("hourglass_compare")
+
+
+def shared_init_classic(seed: int):
+    """The classic Newell baseline's ACTUAL creatModel
+    (/root/reference/hourglass_compare.py:546-638), torch-initialized and
+    weight-transferred to the flax tree."""
+    import torch
+
+    from test_parity_reference import classic_vars
+
+    ref = _reference_classic()
+    torch.manual_seed(seed)
+    tmodel = ref.creatModel()
+    return ref, tmodel, classic_vars(tmodel)
+
+
+def run_torch_twin_classic(ref, tmodel, stream, steps: int, dtype=None):
+    """The classic baseline's training semantics: Adam(1e-4, eps=1e-4)
+    (/root/reference/hourglass_compare.py:885) + per-stack nn.MSELoss
+    (hourglass_compare.py:853-856, 936-941).
+
+    Targets: the 16-ch Gaussian maps — the RUNNABLE INTENT of the
+    reference's loop. As written, neither of its dataset branches can
+    actually feed that loop: the COCO dataset returns 17-ch Gauss maps
+    (hourglass_compare.py:286) against the model's 16-ch heads
+    (hourglass_compare.py:566), and the MPII dataset returns the INTEGER
+    ellipse label map as y_keypoints (hourglass_compare.py:763-765), which
+    MSELoss rejects (Long target) — both raise; pinned by
+    tests/test_twin_training.py::test_classic_train_branch_unrunnable. The
+    framework's classic_mse_objective implements the intent on the MPII
+    Gauss maps the same dataset constructs (hourglass_compare.py:713-737)
+    and then drops on the floor."""
+    import torch
+    import torch.nn as tnn
+
+    if dtype is not None:
+        tmodel = tmodel.to(dtype)
+    cast = (lambda t: t.to(dtype)) if dtype is not None else (lambda t: t)
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-4, eps=1e-4)
+    mse = [tnn.MSELoss() for _ in range(4)]
+    tmodel.train()
+
+    losses = []
+    for step in range(steps):
+        b = stream[step % len(stream)]
+        x = cast(torch.from_numpy(
+            np.ascontiguousarray(b["image"].transpose(0, 3, 1, 2))))
+        y = cast(torch.from_numpy(
+            np.ascontiguousarray(b["gauss_maps"].transpose(0, 3, 1, 2))))
+        result = tmodel(x)
+        total = sum(m(result[i], y) for i, m in enumerate(mse))
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        losses.append(float(total.detach()))
+    return losses
+
+
+def run_jax_twin_classic(ref, variables, stream, steps: int):
+    """The framework's production classic path: ClassicStackedHourglass +
+    classic_mse_objective through train.loop.make_train_step (the
+    classic_baseline experiment preset's exact wiring)."""
+    import jax.numpy as jnp
+
+    from progressive_process_for_human_pose_estimation_tpu.models import (
+        ClassicStackedHourglass,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.train.loop import (
+        make_train_step,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.train.objectives import (
+        classic_mse_objective,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.train.state import (
+        TrainState,
+        make_optimizer,
+    )
+
+    model = ClassicStackedHourglass(
+        features=ref.nFeats, n_stack=4, out_channels=16, hourglass_depth=4,
+        dtype=jnp.float32,
+    )
+    tx = make_optimizer(1e-4, eps=1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+    step_fn = make_train_step(model, classic_mse_objective, donate=False)
+
+    losses = []
+    for step in range(steps):
+        b = stream[step % len(stream)]
+        batch = {
+            "image": jnp.asarray(b["image"]),
+            "gauss_maps": jnp.asarray(b["gauss_maps"]),
+        }
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+def eval_twins_classic(ref, tmodel, state, stream):
+    """Final equivalence for the classic pair: .eval()-mode (running-stat
+    BN — hourglass_compare.py:1043 calls .eval()) softmaxed STACK-2 output
+    — the stack performance_compare.py:647 actually scores — plus the
+    PCKh_hourglass curve (no background-channel offset,
+    performance_compare.py:581-615)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from progressive_process_for_human_pose_estimation_tpu.eval.pckh import pckh_curve
+    from progressive_process_for_human_pose_estimation_tpu.models import (
+        ClassicStackedHourglass,
+    )
+
+    eval_model = ClassicStackedHourglass(
+        features=ref.nFeats, n_stack=4, out_channels=16, hourglass_depth=4,
+        use_running_average=True, dtype=jnp.float32,
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    apply = jax.jit(lambda v, x: eval_model.apply(v, x))
+
+    tmodel.eval()
+    t_hm, j_hm, t_acc, j_acc = [], [], [], []
+    for b in stream:
+        xt = torch.from_numpy(
+            np.ascontiguousarray(b["image"].transpose(0, 3, 1, 2)))
+        p = next(tmodel.parameters())
+        with torch.no_grad():
+            t_out = tmodel(xt.to(p.dtype))[2].float()
+        t_soft = torch.softmax(t_out, dim=1).numpy().transpose(0, 2, 3, 1)
+        j_out = apply(variables, jnp.asarray(b["image"]))[2]
+        j_soft = np.asarray(jax.nn.softmax(j_out, axis=-1))
+        t_hm.append(t_soft)
+        j_hm.append(j_soft)
+        rect = jnp.asarray(b["head_rect"])
+        tgt = jnp.asarray(b["keypoint_map"])
+        t_acc.append(np.asarray(pckh_curve(
+            jnp.asarray(t_soft), tgt, rect, background_offset=False).accuracy))
+        j_acc.append(np.asarray(pckh_curve(
+            jnp.asarray(j_soft), tgt, rect, background_offset=False).accuracy))
+    t_hm, j_hm = np.concatenate(t_hm), np.concatenate(j_hm)
+    t_curve = np.nanmean(np.concatenate(t_acc), axis=0)
+    j_curve = np.nanmean(np.concatenate(j_acc), axis=0)
+    return {
+        "heatmap_max_abs": float(np.max(np.abs(t_hm - j_hm))),
+        "torch_heatmaps": t_hm,
+        "jax_heatmaps": j_hm,
+        "torch_pckh": t_curve,
+        "jax_pckh": j_curve,
+    }
+
+
+def twin_run_classic(
+    steps: int,
+    batch_size: int = 2,
+    inputsize: int = 64,
+    n_batches: int = 4,
+    seed: int = 0,
+):
+    """Classic-baseline twins from ONE shared init on ONE Gauss-target
+    batch stream: the reference's creatModel_hourglass-family model in
+    torch fp32, the same in fp64 (precision control), and this framework's
+    classic_baseline production path."""
+    import copy
+
+    import torch
+
+    stream = make_stream(n_batches, batch_size, inputsize, seed,
+                         render_gauss=True)
+    ref, tmodel, variables = shared_init_classic(seed)
+    tmodel64 = copy.deepcopy(tmodel)
+    j_losses, state = run_jax_twin_classic(ref, variables, stream, steps)
+    t_losses = run_torch_twin_classic(ref, tmodel, stream, steps)
+    t64_losses = run_torch_twin_classic(ref, tmodel64, stream, steps,
+                                        dtype=torch.float64)
+    evals = eval_twins_classic(ref, tmodel, state, stream)
+    evals64 = eval_twins_classic(ref, tmodel64, state, stream)
+    return {
+        "torch_losses": np.asarray(t_losses),
+        "torch64_losses": np.asarray(t64_losses),
+        "jax_losses": np.asarray(j_losses),
+        "control_heatmap_max_abs": float(
+            np.max(np.abs(evals["torch_heatmaps"] - evals64["torch_heatmaps"]))),
+        "control_pckh": evals64["torch_pckh"],
+        **{k: v for k, v in evals.items()
+           if k not in ("torch_heatmaps", "jax_heatmaps")},
+    }
+
+
 def twin_run(
     steps: int,
     batch_size: int = 2,
@@ -303,14 +508,25 @@ def main():
     p.add_argument("--n-batches", type=int, default=8)
     p.add_argument("--steps-per-epoch", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--out-dir", default="runs_r4/twin_train")
+    p.add_argument("--family", choices=("progressive", "classic"),
+                   default="progressive")
+    p.add_argument("--out-dir", default=None)
     args = p.parse_args()
+    if args.out_dir is None:
+        args.out_dir = ("runs_r4/twin_train" if args.family == "progressive"
+                        else "runs_r4/twin_train_classic")
 
     t0 = time.time()
-    r = twin_run(
-        args.steps, args.batch_size, args.input_size, args.n_batches,
-        args.steps_per_epoch, args.seed,
-    )
+    if args.family == "classic":
+        r = twin_run_classic(
+            args.steps, args.batch_size, args.input_size, args.n_batches,
+            args.seed,
+        )
+    else:
+        r = twin_run(
+            args.steps, args.batch_size, args.input_size, args.n_batches,
+            args.steps_per_epoch, args.seed,
+        )
     rel = np.abs(r["torch_losses"] - r["jax_losses"]) / np.abs(r["torch_losses"])
     rel_ctl = np.abs(r["torch_losses"] - r["torch64_losses"]) / np.abs(
         r["torch_losses"])
@@ -343,6 +559,7 @@ def main():
     fig.savefig(os.path.join(args.out_dir, "twin_losses.png"), dpi=120)
 
     summary = {
+        "family": args.family,
         "steps": args.steps,
         "batch_size": args.batch_size,
         "input_size": args.input_size,
