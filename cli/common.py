@@ -151,6 +151,13 @@ def add_data_args(p: argparse.ArgumentParser):
                         "to the --experiment's dataset schema (else coco), "
                         "so MPII/LSP experiments train synthetically with "
                         "the right joint count and renderer")
+    p.add_argument("--synthetic-style", default="blob",
+                   choices=["blob", "stickfigure"],
+                   help="synthetic image style: 'blob' (identical Gaussian "
+                        "blobs at joints — smoke-level signal) or "
+                        "'stickfigure' (color-coded articulated persons, "
+                        "MPII schema — fully learnable, used by the "
+                        "convergence demos)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--decode-backend", default="pil", choices=["pil", "native"],
                    help="'native' = C++ libjpeg thread-pool batch decoder "
@@ -358,10 +365,23 @@ def build_loader_from_args(args, shuffle=True, drop_remainder=None):
             synthetic_mpii_manifest,
         )
 
-        builder = {
-            "mpii": synthetic_mpii_manifest,
-            "lsp": synthetic_lsp_manifest,
-        }.get(getattr(args, "synthetic_schema", None), synthetic_coco_manifest)
+        if getattr(args, "synthetic_style", "blob") == "stickfigure":
+            from progressive_process_for_human_pose_estimation_tpu.data import (
+                synthetic_stickfigure_manifest,
+            )
+
+            schema = getattr(args, "synthetic_schema", None)
+            if schema not in (None, "mpii"):
+                raise SystemExit(
+                    "--synthetic-style stickfigure renders MPII-schema "
+                    f"persons; got --synthetic-schema {schema}"
+                )
+            builder = synthetic_stickfigure_manifest
+        else:
+            builder = {
+                "mpii": synthetic_mpii_manifest,
+                "lsp": synthetic_lsp_manifest,
+            }.get(getattr(args, "synthetic_schema", None), synthetic_coco_manifest)
         manifest = builder(n_images=args.n_synthetic, seed=args.seed)
 
     split = getattr(args, "split", "all")

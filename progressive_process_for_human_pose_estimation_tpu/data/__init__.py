@@ -20,8 +20,10 @@ from .pipeline import (  # noqa: F401
     make_render_fn,
 )
 from .synthetic import (  # noqa: F401
+    stickfigure_image,
     synthetic_coco_manifest,
     synthetic_image,
     synthetic_lsp_manifest,
     synthetic_mpii_manifest,
+    synthetic_stickfigure_manifest,
 )

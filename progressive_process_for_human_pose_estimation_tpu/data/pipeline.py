@@ -403,17 +403,25 @@ class HostLoader:
         manifests don't record dims (the reference reads them per sample)."""
         name = str(self.manifest["image_names"][idx])
         s = self.staging_size
-        if name.startswith("synthetic_"):
+        if name.startswith(("synthetic_", "synthfig_")):
             cached = self._synthetic_cache.get((idx, s))
             if cached is not None:
                 staged, hw = cached
                 return staged.astype(np.float32) / 255.0, hw
 
-            from .synthetic import synthetic_image
-
             size = int(self.manifest["image_dims"][idx][0])
-            img = synthetic_image(self.manifest["keypoints"][idx], img_size=size,
-                                  seed=idx)
+            if name.startswith("synthfig_"):
+                from .synthetic import stickfigure_image
+
+                img = stickfigure_image(
+                    self.manifest["keypoints"][idx], img_size=size, seed=idx
+                )
+            else:
+                from .synthetic import synthetic_image
+
+                img = synthetic_image(
+                    self.manifest["keypoints"][idx], img_size=size, seed=idx
+                )
             from PIL import Image
 
             pil = Image.fromarray((img * 255).astype(np.uint8))
@@ -452,7 +460,7 @@ class HostLoader:
         codecs release the GIL)."""
         names = [str(self.manifest["image_names"][i]) for i in idx]
         if self.decode_backend == "native" and not any(
-            nm.startswith("synthetic_") for nm in names
+            nm.startswith(("synthetic_", "synthfig_")) for nm in names
         ):
             from .native import decode_resize_batch
 

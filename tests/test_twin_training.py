@@ -53,7 +53,8 @@ def test_classic_twin_training_tracks_reference(rng):
     per-stack MSE on the 16-ch MPII Gaussian targets (the runnable intent
     of hourglass_compare.py:936-941 — see twin_harness.run_torch_twin_classic
     on why the literal branches cannot run) vs the classic_baseline
-    production path. Long run committed under runs_r4/twin_train_classic/."""
+    production path. (The long-horizon classic twin evidence is the
+    convergence run under runs_r5/converge/ — tests/twin_converge.py.)"""
     from twin_harness import twin_run_classic
 
     r = twin_run_classic(steps=8, batch_size=2, inputsize=64, n_batches=2,
@@ -84,8 +85,10 @@ def test_classic_train_branch_unrunnable():
       nn.MSELoss raises on the non-broadcastable shapes.
     - MPII branch: y_keypoints is the INTEGER ellipse class map
       (hourglass_compare.py:763-765 returns Label_keypoints ``.long()``,
-      not the Gauss_map it builds at 713-737); MSELoss rejects a Long
-      target outright.
+      not the Gauss_map it builds at 713-737). That target fails twice
+      over: its (B, H, W) shape cannot broadcast against the (B, 16, H, W)
+      heads, and even shape-matched, MSELoss's backward rejects a Long
+      target (no grad formula for integral dtypes). Both pinned separately.
     """
     import torch
     import torch.nn as tnn
@@ -95,7 +98,12 @@ def test_classic_train_branch_unrunnable():
     coco_target_17ch = torch.zeros(2, 17, 64, 64)
     with pytest.raises(RuntimeError):
         mse(out_16ch, coco_target_17ch)
+    # the literal MPII target: class map, (B, H, W) — shape mismatch
     mpii_target_classmap = torch.zeros(2, 64, 64).long()
     with pytest.raises(RuntimeError):
         loss = mse(out_16ch, mpii_target_classmap)
+        loss.backward()
+    # shape-matched but still Long: the dtype itself is also fatal
+    with pytest.raises(RuntimeError):
+        loss = mse(out_16ch, torch.zeros(2, 16, 64, 64).long())
         loss.backward()

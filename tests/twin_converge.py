@@ -1,0 +1,504 @@
+"""Convergence-level twin training (VERDICT r4 item 1): the reference's
+ACTUAL train.py / hourglass_compare.py models (torch, CPU, fp32) vs this
+framework, trained to MEANINGFUL PCKh on a learnable stick-figure dataset,
+from one shared init, with a seed-variance control.
+
+Round 4's twin run (tests/twin_harness.py) proved step-level equivalence but
+trained on pure-noise images — nothing to learn, PCKh ~12% (memorization
+floor). This harness trains on data/synthetic.py's stick-figure dataset
+(color-coded joints + MPII-skeleton limbs — the image→label-map task is
+fully learnable) with a held-out eval split, so BOTH twins converge to a
+PCKh@0.5 where the BASELINE "within 0.5 pts" criterion is testable outside
+noise. The noise band itself is measured by a second torch run from a
+different init seed (the seed-variance control — round 4's fp64 control
+analogue at outcome level).
+
+Stages (separate processes so the 1-core box can schedule them):
+    python tests/twin_converge.py --make-stream --out-dir runs_r5/converge
+    python tests/twin_converge.py --side torch --family progressive ...
+    python tests/twin_converge.py --side jax   --family progressive ...
+    python tests/twin_converge.py --side torch --family progressive --init-seed 1 ...
+    python tests/twin_converge.py --summarize --out-dir runs_r5/converge
+
+The torch runners replicate the reference's training semantics exactly
+(/root/reference/train.py:874-899: Adam(1e-4, eps=1e-4), annealed-OHEM CE +
+plain CE on stages 2/3; /root/reference/hourglass_compare.py:885, 936-941:
+Adam(1e-4, eps=1e-4) + per-stack MSE). The JAX runner is the framework's
+production path (make_train_step + progressive/classic objectives) and may
+run on the TPU chip (--platform tpu, fp32 highest-precision matmuls) —
+outcome-level parity is hardware-independent by design.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out-dir", default="runs_r5/converge")
+    p.add_argument("--make-stream", action="store_true")
+    p.add_argument("--summarize", action="store_true")
+    p.add_argument("--side", choices=("torch", "jax"), default=None)
+    p.add_argument("--family", choices=("progressive", "classic"),
+                   default="progressive")
+    p.add_argument("--init-seed", type=int, default=0,
+                   help="torch.manual_seed for the shared init; a second "
+                        "torch run with a different value IS the "
+                        "seed-variance control")
+    p.add_argument("--steps", type=int, default=2500)
+    p.add_argument("--eval-every", type=int, default=250)
+    p.add_argument("--platform", choices=("cpu", "tpu"), default=None,
+                   help="JAX backend for --side jax (default cpu)")
+    # stream geometry
+    p.add_argument("--input-size", type=int, default=128)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--n-train-batches", type=int, default=48)
+    p.add_argument("--n-eval-batches", type=int, default=12)
+    p.add_argument("--data-seed", type=int, default=7)
+    p.add_argument("--tag", default=None,
+                   help="run-directory tag (default <family>_<side>_s<seed>)")
+    return p.parse_args(argv)
+
+
+# ---------------------------------------------------------------------------
+# Stream construction (run on JAX-CPU; saved so every runner, torch or JAX,
+# CPU or TPU, consumes byte-identical data).
+# ---------------------------------------------------------------------------
+
+def _force_cpu():
+    """The axon plugin (remote TPU) overrides JAX_PLATFORMS env; setting the
+    config directly before first backend use is the reliable way to keep a
+    process off the chip (same workaround as __graft_entry__.py)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def make_stream_file(args) -> str:
+    _force_cpu()
+    import jax.numpy as jnp
+
+    from progressive_process_for_human_pose_estimation_tpu.data.pipeline import (
+        make_mpii_batch_fn,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.data.synthetic import (
+        stickfigure_head_rect,
+        stickfigure_image,
+        synthetic_person_pose,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.models.recursive import (
+        MPII_SKELETON,
+    )
+
+    size = args.input_size
+    bs = args.batch_size
+    n = (args.n_train_batches + args.n_eval_batches) * bs
+    rng = np.random.default_rng(args.data_seed)
+    images = np.zeros((n, size, size, 3), np.uint8)
+    kps = np.zeros((n, 16, 3), np.float32)
+    rects = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        kps[i] = synthetic_person_pose(rng, size)
+        rects[i] = stickfigure_head_rect(kps[i])
+        images[i] = np.round(
+            stickfigure_image(kps[i], size, seed=args.data_seed * 100_000 + i)
+            * 255
+        ).astype(np.uint8)
+
+    # Labels via the framework's device renderer — the same per-sample
+    # semantics as the reference MPII path (ellipse keypoints, line
+    # skeletons, head rect scaled to map space; train.py:668-694). src ==
+    # inputsize so the resize step is identity.
+    render = make_mpii_batch_fn(
+        skeleton=np.asarray(MPII_SKELETON), inputsize=size, render_gauss=True
+    )
+    src = np.full((n, 2), size, np.int32)
+    kp_map = np.zeros((n, size // 4, size // 4), np.int32)
+    sk_map = np.zeros((n, size // 4, size // 4), np.int32)
+    gauss = np.zeros((n, size // 4, size // 4, 16), np.float32)
+    rect_map = np.zeros((n, 4), np.float32)
+    for s0 in range(0, n, bs):
+        sl = slice(s0, s0 + bs)
+        b = render(
+            jnp.asarray(images[sl], jnp.float32) / 255.0,
+            jnp.asarray(kps[sl]),
+            jnp.asarray(rects[sl]),
+            jnp.asarray(src[sl]),
+        )
+        kp_map[sl] = np.asarray(b["keypoint_map"], np.int32)
+        sk_map[sl] = np.asarray(b["skeleton_map"], np.int32)
+        gauss[sl] = np.asarray(b["gauss_maps"], np.float32)
+        rect_map[sl] = np.asarray(b["head_rect"], np.float32)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    path = os.path.join(args.out_dir, "stream.npz")
+    np.savez_compressed(
+        path,
+        images=images,
+        keypoint_map=kp_map,
+        skeleton_map=sk_map,
+        gauss_maps=gauss,
+        head_rect=rect_map,
+        n_train_batches=args.n_train_batches,
+        n_eval_batches=args.n_eval_batches,
+        batch_size=bs,
+        input_size=size,
+        data_seed=args.data_seed,
+    )
+    print(f"stream: {n} samples ({args.n_train_batches}x{bs} train + "
+          f"{args.n_eval_batches}x{bs} eval) at {size}^2 -> {path}")
+    return path
+
+
+def load_stream(out_dir):
+    z = np.load(os.path.join(out_dir, "stream.npz"))
+    bs = int(z["batch_size"])
+    n_tr = int(z["n_train_batches"])
+    n_ev = int(z["n_eval_batches"])
+
+    def batches(lo, hi):
+        out = []
+        for s0 in range(lo * bs, hi * bs, bs):
+            sl = slice(s0, s0 + bs)
+            out.append({
+                "image": z["images"][sl].astype(np.float32) / 255.0,
+                "keypoint_map": z["keypoint_map"][sl],
+                "skeleton_map": z["skeleton_map"][sl],
+                "gauss_maps": z["gauss_maps"][sl],
+                "head_rect": z["head_rect"][sl],
+            })
+        return out
+
+    return batches(0, n_tr), batches(n_tr, n_tr + n_ev), int(z["input_size"])
+
+
+# ---------------------------------------------------------------------------
+# PCKh@0.5 on an eval stream, shared by all runners (numpy heatmaps in NHWC).
+# ---------------------------------------------------------------------------
+
+def eval_pckh(heatmap_fn, eval_stream, background_offset=True):
+    import jax.numpy as jnp
+
+    from progressive_process_for_human_pose_estimation_tpu.eval.pckh import (
+        pckh_curve,
+    )
+
+    accs = []
+    for b in eval_stream:
+        hm = heatmap_fn(b["image"])
+        acc = pckh_curve(
+            jnp.asarray(hm), jnp.asarray(b["keypoint_map"]),
+            jnp.asarray(b["head_rect"]), background_offset=background_offset,
+        ).accuracy
+        accs.append(np.asarray(acc))
+    curve = np.nanmean(np.concatenate(accs), axis=0)
+    return float(curve[-1]), curve  # PCKh@0.5, full 11-threshold curve
+
+
+def _save_run(run_dir, payload, meta):
+    os.makedirs(run_dir, exist_ok=True)
+    np.savez(os.path.join(run_dir, "run.npz"), **payload)
+    with open(os.path.join(run_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# Torch runners — the reference's real source, real losses, real optimizer.
+# ---------------------------------------------------------------------------
+
+def run_torch(args):
+    _force_cpu()  # jax is used for pckh eval only; keep it off the chip
+    import torch
+
+    torch.set_num_threads(max(1, os.cpu_count()))
+    sys.path.insert(0, HERE)
+    from reference_source import load_reference
+
+    train_stream, eval_stream, _size = load_stream(args.out_dir)
+    n_batches = len(train_stream)
+
+    if args.family == "progressive":
+        ref = load_reference("train")
+        torch.manual_seed(args.init_seed)
+        model = ref.creatModel()
+        ohem_sk, ohem_kp = (ref.Costomer_CrossEntropyLoss() for _ in range(2))
+        plain_sk = torch.nn.CrossEntropyLoss()
+        plain_kp = torch.nn.CrossEntropyLoss()
+
+        def step(b, epoch):
+            x = torch.from_numpy(
+                np.ascontiguousarray(b["image"].transpose(0, 3, 1, 2)))
+            sk = torch.from_numpy(b["skeleton_map"]).long()
+            kp = torch.from_numpy(b["keypoint_map"]).long()
+            r = model(x)
+            frac = (100 - epoch) / 100
+            return (ohem_sk.forward(r[1], sk, frac) + plain_sk(r[1], sk)
+                    + ohem_kp.forward(r[2], kp, frac) + plain_kp(r[2], kp))
+
+        out_index, bg_offset = 2, True
+    else:
+        ref = load_reference("hourglass_compare")
+        torch.manual_seed(args.init_seed)
+        model = ref.creatModel()
+        mse = [torch.nn.MSELoss() for _ in range(4)]
+
+        def step(b, epoch):
+            x = torch.from_numpy(
+                np.ascontiguousarray(b["image"].transpose(0, 3, 1, 2)))
+            y = torch.from_numpy(
+                np.ascontiguousarray(b["gauss_maps"].transpose(0, 3, 1, 2)))
+            r = model(x)
+            return sum(m(r[i], y) for i, m in enumerate(mse))
+
+        out_index, bg_offset = 2, False
+
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4, eps=1e-4)
+
+    def heatmap_fn(images):
+        with torch.no_grad():
+            out = model(torch.from_numpy(
+                np.ascontiguousarray(images.transpose(0, 3, 1, 2))))[out_index]
+        return torch.softmax(out, dim=1).numpy().transpose(0, 2, 3, 1)
+
+    tag = args.tag or f"{args.family}_torch_s{args.init_seed}"
+    run_dir = os.path.join(args.out_dir, tag)
+    losses, eval_steps, eval_pck, eval_curves = [], [], [], []
+    t0 = time.time()
+    model.train()
+    for i in range(args.steps):
+        loss = step(train_stream[i % n_batches], i // n_batches)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+        if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
+            model.eval()
+            pck, curve = eval_pckh(heatmap_fn, eval_stream, bg_offset)
+            model.train()
+            eval_steps.append(i + 1)
+            eval_pck.append(pck)
+            eval_curves.append(curve)
+            print(f"[{tag}] step {i + 1}/{args.steps} loss {losses[-1]:.4f} "
+                  f"pckh@0.5 {pck * 100:.2f}% ({time.time() - t0:.0f}s)",
+                  flush=True)
+            _save_run(
+                run_dir,
+                dict(losses=np.asarray(losses),
+                     eval_steps=np.asarray(eval_steps),
+                     eval_pckh=np.asarray(eval_pck),
+                     eval_curves=np.asarray(eval_curves)),
+                dict(side="torch", family=args.family,
+                     init_seed=args.init_seed, steps=args.steps,
+                     eval_every=args.eval_every, done=i + 1 == args.steps,
+                     wall_seconds=round(time.time() - t0, 1)),
+            )
+    print(f"[{tag}] done in {time.time() - t0:.0f}s; final "
+          f"pckh@0.5 {eval_pck[-1] * 100:.2f}%")
+
+
+# ---------------------------------------------------------------------------
+# JAX runner — the framework's production path, same shared torch init.
+# ---------------------------------------------------------------------------
+
+def run_jax(args):
+    if args.platform == "tpu":
+        # fp32 twin numerics on the MXU: highest-precision matmul/conv passes.
+        os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+    else:
+        _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, HERE)
+    import twin_harness
+
+    train_stream, eval_stream, _size = load_stream(args.out_dir)
+    n_batches = len(train_stream)
+
+    from progressive_process_for_human_pose_estimation_tpu.train.loop import (
+        make_train_step,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.train.objectives import (
+        classic_mse_objective,
+        progressive_objective,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.train.state import (
+        TrainState,
+        make_optimizer,
+    )
+
+    if args.family == "progressive":
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            ProgressiveHourglass,
+        )
+
+        ref, _tmodel, variables = twin_harness.shared_init(args.init_seed)
+        kw = dict(
+            features=ref.nFeats,
+            out_channels=(ref.nOutChannels_0, ref.nOutChannels_1,
+                          ref.nOutChannels_2),
+            hourglass_depth=4, dtype=jnp.float32,
+        )
+        model = ProgressiveHourglass(**kw)
+        eval_model = ProgressiveHourglass(**kw, use_running_average=True)
+        objective = progressive_objective
+        batch_keys = ("image", "skeleton_map", "keypoint_map")
+        bg_offset = True
+    else:
+        from progressive_process_for_human_pose_estimation_tpu.models import (
+            ClassicStackedHourglass,
+        )
+
+        ref, _tmodel, variables = twin_harness.shared_init_classic(
+            args.init_seed)
+        kw = dict(features=ref.nFeats, n_stack=4, out_channels=16,
+                  hourglass_depth=4, dtype=jnp.float32)
+        model = ClassicStackedHourglass(**kw)
+        eval_model = ClassicStackedHourglass(**kw, use_running_average=True)
+        objective = classic_mse_objective
+        batch_keys = ("image", "gauss_maps")
+        bg_offset = False
+    del torch
+
+    tx = make_optimizer(1e-4, eps=1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+    step_fn = make_train_step(model, objective, donate=False)
+    apply = jax.jit(lambda v, x: eval_model.apply(v, x))
+
+    def heatmap_fn(images):
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        out = apply(v, jnp.asarray(images))[2]
+        return np.asarray(jax.nn.softmax(out.astype(jnp.float32), axis=-1))
+
+    tag = args.tag or f"{args.family}_jax_s{args.init_seed}"
+    run_dir = os.path.join(args.out_dir, tag)
+    losses, eval_steps, eval_pck, eval_curves = [], [], [], []
+    t0 = time.time()
+    for i in range(args.steps):
+        b = train_stream[i % n_batches]
+        state = state.replace(epoch=jnp.asarray(i // n_batches, jnp.int32))
+        batch = {k: jnp.asarray(b[k]) for k in batch_keys}
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+        if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
+            pck, curve = eval_pckh(heatmap_fn, eval_stream, bg_offset)
+            eval_steps.append(i + 1)
+            eval_pck.append(pck)
+            eval_curves.append(curve)
+            print(f"[{tag}] step {i + 1}/{args.steps} loss {losses[-1]:.4f} "
+                  f"pckh@0.5 {pck * 100:.2f}% ({time.time() - t0:.0f}s)",
+                  flush=True)
+            _save_run(
+                run_dir,
+                dict(losses=np.asarray(losses),
+                     eval_steps=np.asarray(eval_steps),
+                     eval_pckh=np.asarray(eval_pck),
+                     eval_curves=np.asarray(eval_curves)),
+                dict(side="jax", family=args.family,
+                     platform=args.platform or "cpu",
+                     init_seed=args.init_seed, steps=args.steps,
+                     eval_every=args.eval_every, done=i + 1 == args.steps,
+                     wall_seconds=round(time.time() - t0, 1)),
+            )
+    print(f"[{tag}] done in {time.time() - t0:.0f}s; final "
+          f"pckh@0.5 {eval_pck[-1] * 100:.2f}%")
+
+
+# ---------------------------------------------------------------------------
+# Summary: the BASELINE criterion, evaluated.
+# ---------------------------------------------------------------------------
+
+def summarize(args):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    runs = {}
+    for name in sorted(os.listdir(args.out_dir)):
+        run = os.path.join(args.out_dir, name, "run.npz")
+        meta = os.path.join(args.out_dir, name, "meta.json")
+        if os.path.exists(run) and os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            runs[name] = (dict(np.load(run)), m)
+
+    summary = {}
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
+    for col, family in enumerate(("progressive", "classic")):
+        fam = {k: v for k, v in runs.items() if v[1]["family"] == family}
+        if not fam:
+            continue
+        ax = axes[col]
+        final = {}
+        for name, (data, m) in sorted(fam.items()):
+            pck = data["eval_pckh"] * 100
+            ax.plot(data["eval_steps"], pck,
+                    label=f"{m['side']} s{m['init_seed']}"
+                          + (f" ({m.get('platform')})"
+                             if m["side"] == "jax" else ""),
+                    lw=2 if m["side"] == "torch" else 1.2,
+                    ls="-" if m["side"] == "torch" else "--")
+            final[name] = float(pck[-1])
+        ax.set_xlabel("step"), ax.set_ylabel("PCKh@0.5 (%)"), ax.legend()
+        ax.set_title(f"{family}: twin convergence (held-out eval)")
+        ax.grid(alpha=0.3)
+
+        t_a = next((v for k, v in final.items()
+                    if "torch" in k and "_s0" in k), None)
+        j_a = next((v for k, v in final.items()
+                    if "jax" in k and "_s0" in k), None)
+        seed_runs = [v for k, v in final.items() if "torch" in k]
+        band = (max(seed_runs) - min(seed_runs)) if len(seed_runs) > 1 else None
+        fam_summary = {"final_pckh@0.5_%": final}
+        if t_a is not None and j_a is not None:
+            fam_summary["abs_gap_pts"] = abs(t_a - j_a)
+            fam_summary["criterion_<=0.5pts"] = abs(t_a - j_a) <= 0.5
+        if band is not None:
+            fam_summary["torch_seed_band_pts"] = band
+            if t_a is not None and j_a is not None:
+                fam_summary["gap_<=_seed_band"] = abs(t_a - j_a) <= max(
+                    band, 1e-9)
+        summary[family] = fam_summary
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.out_dir, "convergence.png"), dpi=120)
+
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+    sys.path.insert(0, os.path.dirname(HERE))
+    if args.make_stream:
+        make_stream_file(args)
+    elif args.summarize:
+        summarize(args)
+    elif args.side == "torch":
+        run_torch(args)
+    elif args.side == "jax":
+        run_jax(args)
+    else:
+        raise SystemExit("pick one of --make-stream / --summarize / --side")
+
+
+if __name__ == "__main__":
+    main()
