@@ -251,6 +251,53 @@ def zoo_bench():
         print(json.dumps(row), flush=True)
 
 
+def subtree_bench():
+    """A/B the <=16^2 subtree megakernel (VERDICT r4 8b): full flagship
+    eval graph, interleaved same-session reps of (a) the standard fold-tail
+    flax model [the headline], (b) the BN-folded jnp fast path, (c) the
+    fast path with ONE Pallas kernel spanning the whole 16^2/8^2/4^2
+    subtree (pallas_kernels/subtree16.py). Prints per-rep img/s + medians +
+    a bf16 numerics cross-check of (c) against (b)."""
+    import numpy as np
+
+    from progressive_process_for_human_pose_estimation_tpu.models import build_model
+    from progressive_process_for_human_pose_estimation_tpu.pallas_kernels.fast_infer import (
+        build_fast_apply,
+    )
+
+    batch = 8
+    model = build_model("hourglass8_skeleton", use_running_average=True)
+    fold = build_model("hourglass8_skeleton", use_running_average=True,
+                       fold_tail=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3),
+                          jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    fast = build_fast_apply(model, variables, residual_impl="fast")
+    sub = build_fast_apply(model, variables, residual_impl="subtree")
+
+    ref = np.asarray(fast(x)[-1], np.float32)
+    got = np.asarray(sub(x)[-1], np.float32)
+    rel = float(np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9))
+    print(json.dumps({"subtree_vs_fast_final_stack_max_rel": rel}), flush=True)
+
+    cands = {
+        "fold_tail_model": lambda xx: fold.apply(variables, xx),
+        "fast_jnp": fast,
+        "fast_subtree_pallas": sub,
+    }
+    reps = {k: [] for k in cands}
+    for _ in range(4):  # interleaved reps bound session drift
+        for name, fn in cands.items():
+            ips, _ = timed_throughput(fn, x, batch, n_lo=4, n_hi=40)
+            reps[name].append(round(ips, 1))
+            print(json.dumps({"config": name, "img_per_sec": reps[name]}),
+                  flush=True)
+    print(json.dumps({
+        "medians": {k: sorted(v)[len(v) // 2] for k, v in reps.items()}
+    }), flush=True)
+
+
 def main(fused_eval=False, fold_tail=False):
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
@@ -299,6 +346,8 @@ if __name__ == "__main__":
         )
 
         glue_dma_table()
+    elif "--subtree" in sys.argv:
+        subtree_bench()
     elif "--train-sweep" in sys.argv:
         train_sweep()
     elif "--train" in sys.argv:

@@ -292,7 +292,8 @@ def main(argv=None):
         final = trace.history()
         if final:
             logger.loss_history = {k: list(v) for k, v in final.items()}
-        logger.save_loss_curve(args.save.rstrip("/") + "_loss.png")
+        if jax.process_index() == 0:  # plain file write — don't race hosts
+            logger.save_loss_curve(args.save.rstrip("/") + "_loss.png")
     logger.close()
     return state
 

@@ -45,12 +45,14 @@ def _matmul1x1(x, w, b=None):
     return y if b is None else y + b
 
 
-def build_fast_apply(model, variables, residual_impl: str = "hybrid"):
+def build_fast_apply(model, variables, residual_impl: str = "hybrid",
+                     interpret: bool = False):
     """Build `fast(x) -> [stack outputs]` for a share_weights StackedHourglass.
 
     Args:
       model: the StackedHourglass module instance (for its static config).
       variables: trained {'params', 'batch_stats'} (eval-mode statistics).
+      interpret: run Pallas kernels in interpreter mode (CPU testing).
     """
     assert model.share_weights, "fast path covers the weight-shared family"
     p = variables["params"]
@@ -61,6 +63,10 @@ def build_fast_apply(model, variables, residual_impl: str = "hybrid"):
         "fast": lite_residual_fast,
         "pallas": lite_residual_pallas,
         "hybrid": lite_residual_hybrid,
+        # 'subtree': XLA everywhere EXCEPT one megakernel for the whole
+        # <=16^2 subtree (subtree16.subtree16_pallas) — the per-block
+        # residuals outside it run the folded-jnp path.
+        "subtree": lite_residual_fast,
     }[residual_impl]
 
     stem_convw = p["conv1"]["conv"]["kernel"].astype(dt)
@@ -106,6 +112,12 @@ def build_fast_apply(model, variables, residual_impl: str = "hybrid"):
         return h
 
     def hourglass(h, n):
+        if (residual_impl == "subtree" and n == 2
+                and h.shape[1] == h.shape[2] == 16):
+            from .subtree16 import subtree16_pallas
+
+            return subtree16_pallas(h, fp_hg[2], fp_hg[1], n_modules,
+                                    interpret=interpret)
         up1 = apply_mods(h, n)
         low1 = apply_mods(max_pool_2x2(h), n)
         low2 = hourglass(low1, n - 1) if n > 1 else apply_mods(low1, n)

@@ -58,9 +58,11 @@ def save_checkpoint(
     else:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, tree, force=True)
-    if loss_history is not None:
+    if loss_history is not None and jax.process_index() == 0:
         # Written NEXT to the orbax dir (not inside): an async save finalizes
-        # the directory after this function returns.
+        # the directory after this function returns. Process 0 only — the
+        # orbax save above is a collective every process must enter, but
+        # this sidecar is a plain file write that would race across hosts.
         np.savez(
             path + ".loss_history.npz",
             **{k: np.asarray(v, np.float64) for k, v in loss_history.items()},

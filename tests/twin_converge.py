@@ -447,6 +447,12 @@ def summarize(args):
         if not fam:
             continue
         ax = axes[col]
+        # Compare at the last eval step COMMON to every run of the family
+        # (runs may have different horizons; PCKh must be read at one step).
+        common = set.intersection(
+            *(set(int(s) for s in d["eval_steps"]) for d, _ in fam.values())
+        )
+        at_step = max(common) if common else None
         final = {}
         for name, (data, m) in sorted(fam.items()):
             pck = data["eval_pckh"] * 100
@@ -456,7 +462,10 @@ def summarize(args):
                              if m["side"] == "jax" else ""),
                     lw=2 if m["side"] == "torch" else 1.2,
                     ls="-" if m["side"] == "torch" else "--")
-            final[name] = float(pck[-1])
+            steps = [int(s) for s in data["eval_steps"]]
+            final[name] = float(
+                pck[steps.index(at_step)] if at_step in steps else pck[-1]
+            )
         ax.set_xlabel("step"), ax.set_ylabel("PCKh@0.5 (%)"), ax.legend()
         ax.set_title(f"{family}: twin convergence (held-out eval)")
         ax.grid(alpha=0.3)
@@ -467,7 +476,7 @@ def summarize(args):
                     if "jax" in k and "_s0" in k), None)
         seed_runs = [v for k, v in final.items() if "torch" in k]
         band = (max(seed_runs) - min(seed_runs)) if len(seed_runs) > 1 else None
-        fam_summary = {"final_pckh@0.5_%": final}
+        fam_summary = {"at_step": at_step, "final_pckh@0.5_%": final}
         if t_a is not None and j_a is not None:
             fam_summary["abs_gap_pts"] = abs(t_a - j_a)
             fam_summary["criterion_<=0.5pts"] = abs(t_a - j_a) <= 0.5
