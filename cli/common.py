@@ -367,16 +367,18 @@ def build_loader_from_args(args, shuffle=True, drop_remainder=None):
 
         if getattr(args, "synthetic_style", "blob") == "stickfigure":
             from progressive_process_for_human_pose_estimation_tpu.data import (
+                synthetic_stickfigure_coco_manifest,
                 synthetic_stickfigure_manifest,
             )
 
             schema = getattr(args, "synthetic_schema", None)
-            if schema not in (None, "mpii"):
+            if schema == "lsp":
                 raise SystemExit(
-                    "--synthetic-style stickfigure renders MPII-schema "
-                    f"persons; got --synthetic-schema {schema}"
+                    "--synthetic-style stickfigure renders MPII- or "
+                    "COCO-schema persons; got --synthetic-schema lsp"
                 )
-            builder = synthetic_stickfigure_manifest
+            builder = (synthetic_stickfigure_manifest if schema == "mpii"
+                       else synthetic_stickfigure_coco_manifest)
         else:
             builder = {
                 "mpii": synthetic_mpii_manifest,

@@ -20,10 +20,12 @@ from .pipeline import (  # noqa: F401
     make_render_fn,
 )
 from .synthetic import (  # noqa: F401
+    stickfigure_coco_image,
     stickfigure_image,
     synthetic_coco_manifest,
     synthetic_image,
     synthetic_lsp_manifest,
     synthetic_mpii_manifest,
+    synthetic_stickfigure_coco_manifest,
     synthetic_stickfigure_manifest,
 )

@@ -393,7 +393,7 @@ class HostLoader:
         # rate on a per-epoch full sweep), and inserts are lock-guarded
         # because PrefetchLoader fans _load_image over a thread pool.
         self._synthetic_cache: Dict = {}
-        self._synthetic_cache_cap = 128
+        self._synthetic_cache_cap = 1024  # uint8 at 320² staging ≈ 300 MB max
         self._synthetic_cache_lock = threading.Lock()
 
     def _load_image(self, idx: int):
@@ -403,14 +403,24 @@ class HostLoader:
         manifests don't record dims (the reference reads them per sample)."""
         name = str(self.manifest["image_names"][idx])
         s = self.staging_size
-        if name.startswith(("synthetic_", "synthfig_")):
+        if name.startswith(("synthetic_", "synthfig_", "synthfigc_")):
             cached = self._synthetic_cache.get((idx, s))
             if cached is not None:
                 staged, hw = cached
                 return staged.astype(np.float32) / 255.0, hw
 
             size = int(self.manifest["image_dims"][idx][0])
-            if name.startswith("synthfig_"):
+            if name.startswith("synthfigc_"):
+                from .synthetic import stickfigure_coco_image
+
+                img = stickfigure_coco_image(
+                    self.manifest["keypoints"][idx],
+                    self.manifest["polygons"][idx],
+                    self.manifest["n_vertices"][idx],
+                    int(self.manifest["n_persons"][idx]),
+                    img_size=size, seed=idx,
+                )
+            elif name.startswith("synthfig_"):
                 from .synthetic import stickfigure_image
 
                 img = stickfigure_image(
@@ -460,7 +470,8 @@ class HostLoader:
         codecs release the GIL)."""
         names = [str(self.manifest["image_names"][i]) for i in idx]
         if self.decode_backend == "native" and not any(
-            nm.startswith(("synthetic_", "synthfig_")) for nm in names
+            nm.startswith(("synthetic_", "synthfig_", "synthfigc_"))
+            for nm in names
         ):
             from .native import decode_resize_batch
 

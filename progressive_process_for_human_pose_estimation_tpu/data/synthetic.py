@@ -280,6 +280,144 @@ def stickfigure_image(kps: np.ndarray, img_size: int, seed: int = 0) -> np.ndarr
     return np.asarray(pil, np.float32) / 255.0
 
 
+# COCO joint order: nose, l/r eye, l/r ear, l/r shoulder, l/r elbow,
+# l/r wrist, l/r hip, l/r knee, l/r ankle.
+COCO_JOINT_COLORS = np.array(
+    [
+        (255, 255, 255), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+        (255, 255, 0), (255, 0, 255), (0, 255, 255), (255, 128, 0),
+        (128, 0, 255), (0, 128, 255), (128, 255, 0), (255, 0, 128),
+        (0, 255, 128), (128, 128, 255), (255, 128, 128), (128, 64, 0),
+        (64, 128, 64),
+    ],
+    np.uint8,
+)
+
+_COCO_EDGES = COCO_SKELETON  # 19 edges, 0-based (models.recursive)
+
+
+def synthetic_coco_person_pose(rng: np.random.Generator,
+                               img_size: int) -> np.ndarray:
+    """One plausible articulated COCO pose: (17, 3) [x, y, visible>0]."""
+
+    def unit(deg):
+        r = np.deg2rad(deg)
+        return np.array([np.cos(r), np.sin(r)])
+
+    s = rng.uniform(0.16, 0.26) * img_size
+    pelvis = rng.uniform(0.35, 0.65, 2) * img_size
+    torso_deg = rng.normal(-90, 12)
+    d = unit(torso_deg)
+    perp = np.array([-d[1], d[0]])
+
+    kps = np.zeros((17, 3), np.float32)
+    thorax = pelvis + s * d
+    head = thorax + 0.45 * s * unit(torso_deg + rng.normal(0, 10))
+    kps[0, :2] = head                                   # nose
+    eye = 0.10 * s
+    kps[1, :2] = head - perp * eye - 0.06 * s * d       # l eye
+    kps[2, :2] = head + perp * eye - 0.06 * s * d       # r eye
+    kps[3, :2] = head - perp * 2 * eye                  # l ear
+    kps[4, :2] = head + perp * 2 * eye                  # r ear
+    sho = 0.26 * s
+    kps[5, :2] = thorax - perp * sho                    # l shoulder
+    kps[6, :2] = thorax + perp * sho                    # r shoulder
+    hip = 0.17 * s
+    kps[11, :2] = pelvis - perp * hip                   # l hip
+    kps[12, :2] = pelvis + perp * hip                   # r hip
+    for shoj, elb, wri in ((5, 7, 9), (6, 8, 10)):
+        a1 = 90 + rng.normal(0, 65)
+        kps[elb, :2] = kps[shoj, :2] + 0.38 * s * unit(a1)
+        kps[wri, :2] = kps[elb, :2] + 0.36 * s * unit(a1 + rng.normal(0, 45))
+    for hipj, knee, ank in ((11, 13, 15), (12, 14, 16)):
+        a1 = 90 + rng.normal(0, 22)
+        kps[knee, :2] = kps[hipj, :2] + 0.52 * s * unit(a1)
+        kps[ank, :2] = kps[knee, :2] + 0.48 * s * unit(a1 + rng.normal(0, 30))
+
+    kps[:, :2] = np.clip(kps[:, :2], 3, img_size - 4)
+    kps[:, 2] = (rng.random(17) > 0.05).astype(np.float32) * 2.0
+    return kps
+
+
+def stickfigure_coco_image(kps: np.ndarray, polys: np.ndarray,
+                           n_verts: np.ndarray, n_persons: int,
+                           img_size: int, seed: int = 0) -> np.ndarray:
+    """Render COCO stick-figures: silhouette polygons filled dim (signal for
+    the background stage), skeleton limbs, color-coded joint disks."""
+    from PIL import Image, ImageDraw
+
+    rng = np.random.default_rng(seed)
+    bg = (rng.random((img_size, img_size, 3)) * 40).astype(np.uint8)
+    pil = Image.fromarray(bg)
+    draw = ImageDraw.Draw(pil)
+    lw = max(2, round(0.012 * img_size))
+    rj = max(2.5, 0.012 * img_size)
+    for p in range(int(n_persons)):
+        nv = int(n_verts[p])
+        if nv >= 3:
+            draw.polygon([tuple(v) for v in polys[p, :nv].tolist()],
+                         fill=(70, 70, 70))
+    for p in range(int(n_persons)):
+        person = kps[p]
+        for a, b in _COCO_EDGES:
+            if person[a, 2] > 0 and person[b, 2] > 0:
+                color = tuple(
+                    int(c) for c in (
+                        0.45 * (COCO_JOINT_COLORS[a].astype(np.float32)
+                                + COCO_JOINT_COLORS[b].astype(np.float32)) / 2
+                    )
+                )
+                draw.line([tuple(person[a, :2].tolist()),
+                           tuple(person[b, :2].tolist())],
+                          fill=color, width=lw)
+        for j in range(17):
+            if person[j, 2] > 0:
+                x, y = float(person[j, 0]), float(person[j, 1])
+                draw.ellipse([x - rj, y - rj, x + rj, y + rj],
+                             fill=tuple(int(c) for c in COCO_JOINT_COLORS[j]))
+    return np.asarray(pil, np.float32) / 255.0
+
+
+def synthetic_stickfigure_coco_manifest(
+    n_images: int = 64, img_size: int = 256, seed: int = 0,
+    max_persons: int = 2, max_vertices: int = 16,
+) -> Manifest:
+    """COCO-schema manifest over stick-figure persons (1..max_persons per
+    image) with silhouette polygons. ``synthfigc_`` names make HostLoader
+    render them with stickfigure_coco_image."""
+    rng = np.random.default_rng(seed)
+    kps = np.zeros((n_images, max_persons, N_JOINTS_COCO, 3), np.float32)
+    polys = np.zeros((n_images, max_persons, max_vertices, 2), np.float32)
+    n_verts = np.zeros((n_images, max_persons), np.int32)
+    n_persons = rng.integers(1, max_persons + 1, (n_images,)).astype(np.int32)
+    for i in range(n_images):
+        for p in range(n_persons[i]):
+            kps[i, p] = synthetic_coco_person_pose(rng, img_size)
+            vis = kps[i, p, :, 2] > 0
+            pts = kps[i, p, vis, :2]
+            cx, cy = pts.mean(0)
+            rad = max(float(np.max(np.linalg.norm(pts - (cx, cy), axis=1)))
+                      * 1.15, 8.0)
+            ang = np.linspace(0, 2 * np.pi, max_vertices, endpoint=False)
+            polys[i, p, :, 0] = np.clip(cx + rad * np.cos(ang), 0,
+                                        img_size - 1)
+            polys[i, p, :, 1] = np.clip(cy + rad * np.sin(ang), 0,
+                                        img_size - 1)
+            n_verts[i, p] = max_vertices
+    return {
+        "image_names": np.asarray(
+            [f"synthfigc_{seed}_{img_size}_{i:06d}" for i in range(n_images)]
+        ),
+        "image_dims": np.full((n_images, 2), img_size, np.int32),
+        "keypoints": kps,
+        "polygons": polys,
+        "n_vertices": n_verts,
+        "n_persons": n_persons,
+        "skeleton": COCO_SKELETON,
+        "truncation_counts": np.zeros(2, np.int64),
+    }
+
+
 def synthetic_stickfigure_manifest(
     n_images: int = 64, img_size: int = 256, seed: int = 0
 ) -> Manifest:
