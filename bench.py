@@ -118,6 +118,12 @@ def train_sweep():
         ("remat_b8", flag, dict(remat=True), 8),
         ("remat_nocse_b8", flag, dict(remat=True, remat_prevent_cse=False), 8),
         ("remat_dots_b8", flag, dict(remat=True, remat_policy="dots"), 8),
+        # VERDICT r4 8c: dots + saved maxpools — backward recomputes only
+        # elementwise glue (BN affine/ReLU/adds), nothing windowed.
+        ("remat_dots_pools_b8", flag,
+         dict(remat=True, remat_policy="dots_and_pools"), 8),
+        ("scan_remat_dots_pools_b8", flag,
+         dict(scan_stacks=True, remat=True, remat_policy="dots_and_pools"), 8),
         ("remat_dnb_b8", flag, dict(remat=True, remat_policy="dots_no_batch"), 8),
         ("remat_b4", flag, dict(remat=True), 4),
         ("remat_b6", flag, dict(remat=True), 6),
@@ -251,6 +257,78 @@ def zoo_bench():
         print(json.dumps(row), flush=True)
 
 
+def batch_sweep():
+    """Headline batch sweep (VERDICT r4 8a): the fold-tail eval graph at
+    batches 8/12/16/24/32 in one session, 2 interleaved reps each."""
+    from progressive_process_for_human_pose_estimation_tpu.models import build_model
+
+    model = build_model("hourglass8_skeleton", use_running_average=True,
+                        fold_tail=True)
+    sizes = (8, 12, 16, 24, 32)
+    reps = {b: [] for b in sizes}
+    inits = {}
+    for b in sizes:
+        inits[b] = jax.random.normal(
+            jax.random.PRNGKey(1), (b, 256, 256, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), inits[8])
+    for _ in range(2):
+        for b in sizes:
+            ips, dt = timed_throughput(
+                lambda xx: model.apply(variables, xx), inits[b], b,
+                n_lo=4, n_hi=40)
+            reps[b].append(round(ips, 1))
+            print(json.dumps({"batch": b, "img_per_sec": reps[b]}),
+                  flush=True)
+    print(json.dumps({"best": {b: max(v) for b, v in reps.items()}}),
+          flush=True)
+
+
+def bn_ab_bench():
+    """A/B the single-read fused BN statistics (VERDICT r4 item 9) on the
+    flagship's faithful batch-stat eval path (the try_* scripts' test-time
+    mode): exact two-pass vs pallas_kernels/bn_stats.py, interleaved reps,
+    plus a numerics cross-check of the final-stack outputs."""
+    import numpy as np
+
+    from progressive_process_for_human_pose_estimation_tpu.models import build_model
+    from progressive_process_for_human_pose_estimation_tpu.ops.blocks import (
+        fused_bn_stats,
+    )
+    from progressive_process_for_human_pose_estimation_tpu.train import (
+        make_eval_apply,
+    )
+
+    batch = 8
+    model = build_model("hourglass8_skeleton", use_running_average=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3),
+                          jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    apply_fn = make_eval_apply(model, batch_stats=True)
+
+    # Trace-time flag: build one jitted callable per mode.
+    two_pass = jax.jit(lambda xx: apply_fn(variables, xx)[-1])
+    with fused_bn_stats():
+        fused = jax.jit(lambda xx: apply_fn(variables, xx)[-1])
+        _ = fused(x)  # compile inside the context (flag read at trace)
+
+    a = np.asarray(two_pass(x), np.float32)
+    b = np.asarray(fused(x), np.float32)
+    rel = float(np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9))
+    print(json.dumps({"fused_vs_twopass_final_stack_max_rel": rel}),
+          flush=True)
+
+    reps = {"two_pass": [], "fused_stats": []}
+    for _ in range(4):
+        for name, fn in (("two_pass", two_pass), ("fused_stats", fused)):
+            ips, _ = timed_throughput(fn, x, batch, n_lo=4, n_hi=40)
+            reps[name].append(round(ips, 1))
+            print(json.dumps({"config": name, "img_per_sec": reps[name]}),
+                  flush=True)
+    print(json.dumps({
+        "medians": {k: sorted(v)[len(v) // 2] for k, v in reps.items()}
+    }), flush=True)
+
+
 def subtree_bench():
     """A/B the <=16^2 subtree megakernel (VERDICT r4 8b): full flagship
     eval graph, interleaved same-session reps of (a) the standard fold-tail
@@ -348,6 +426,10 @@ if __name__ == "__main__":
         glue_dma_table()
     elif "--subtree" in sys.argv:
         subtree_bench()
+    elif "--batch-sweep" in sys.argv:
+        batch_sweep()
+    elif "--bn-ab" in sys.argv:
+        bn_ab_bench()
     elif "--train-sweep" in sys.argv:
         train_sweep()
     elif "--train" in sys.argv:

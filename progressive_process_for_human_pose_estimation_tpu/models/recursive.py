@@ -188,11 +188,21 @@ class StackedHourglass(nn.Module):
         # jax.checkpoint via nn.remat — numerics identical. Under
         # ``scan_stacks`` the remat boundary moves to the whole stack body
         # instead (see below).
+        def _dots_and_pools(prim, *avals, **params):
+            # 'dots' (= conv + dot outputs) PLUS the pool/upsample glue:
+            # saves the reduce_window maxpools so the backward recomputes
+            # only elementwise BN-affine/ReLU/adds (VERDICT r4 8c candidate).
+            return (
+                jax.checkpoint_policies.dots_saveable(prim, *avals, **params)
+                or prim.name in ("reduce_window_max", "reduce_window")
+            )
+
         policy = {
             None: None,
             "dots": jax.checkpoint_policies.checkpoint_dots,
             "dots_no_batch":
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            "dots_and_pools": _dots_and_pools,
         }[self.remat_policy]
         use_scan = self.scan_stacks and self.n_stack > 1
         if self.scan_stacks and not self.share_weights:

@@ -33,6 +33,7 @@ reference is single-device so the parity default is None).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional, Sequence
 
 import jax
@@ -156,6 +157,29 @@ class Conv(nn.Module):
         )(x)
 
 
+# Inference-only fast path for batch-stat eval: ONE fused HBM read for the
+# (mean, var) statistics (pallas_kernels/bn_stats.py) instead of the
+# two-pass read. The kernel has no VJP, so this is an explicit opt-in
+# context for EVAL graphs only — training always uses the exact two-pass.
+_FUSED_BN_STATS = False
+
+
+@contextlib.contextmanager
+def fused_bn_stats(enable: bool = True):
+    """Trace batch-stat BN with the single-read fused statistics kernel.
+
+    Usage: ``with fused_bn_stats(): jitted_eval(...)`` — the flag is read at
+    TRACE time, so wrap the first (compiling) call. Eval-only (no autodiff
+    through the stats kernel)."""
+    global _FUSED_BN_STATS
+    prev = _FUSED_BN_STATS
+    _FUSED_BN_STATS = enable
+    try:
+        yield
+    finally:
+        _FUSED_BN_STATS = prev
+
+
 class _TorchBatchNorm(nn.Module):
     """BatchNorm2d with torch's exact running-stat bookkeeping.
 
@@ -191,23 +215,30 @@ class _TorchBatchNorm(nn.Module):
             var = ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axes)
             n = 1
             for a in axes:
                 n *= x.shape[a]
-            if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                n = n * jax.lax.psum(1, self.axis_name)
-            # Two-pass variance (torch's algorithm), NOT E[x^2]-E[x]^2:
-            # the one-pass form cancels catastrophically in fp32 when
-            # var << mean^2 (e.g. the ASPP global-pool branch where the
-            # spatial extent is 1x1) and measurably breaks train-mode
-            # parity with torch at small feature maps.
-            d = xf - mean
-            var = jnp.mean(jnp.square(d), axes)
-            if self.axis_name is not None:
-                var = jax.lax.pmean(var, self.axis_name)
+            if (_FUSED_BN_STATS and self.axis_name is None
+                    and not self.is_initializing()
+                    and x.ndim == 4 and x.shape[-1] % 128 == 0 and n >= 512):
+                from ..pallas_kernels.bn_stats import bn_stats_fused
+
+                mean, var = bn_stats_fused(x)
+            else:
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axes)
+                if self.axis_name is not None:
+                    mean = jax.lax.pmean(mean, self.axis_name)
+                    n = n * jax.lax.psum(1, self.axis_name)
+                # Two-pass variance (torch's algorithm), NOT E[x^2]-E[x]^2:
+                # the one-pass form cancels catastrophically in fp32 when
+                # var << mean^2 (e.g. the ASPP global-pool branch where the
+                # spatial extent is 1x1) and measurably breaks train-mode
+                # parity with torch at small feature maps.
+                d = xf - mean
+                var = jnp.mean(jnp.square(d), axes)
+                if self.axis_name is not None:
+                    var = jax.lax.pmean(var, self.axis_name)
             if not self.is_initializing():
                 unbiased = var * (n / jnp.maximum(n - 1, 1))
                 m = self.momentum
