@@ -217,8 +217,10 @@ def main(argv=None):
     if mesh is not None:
         # Commit params/opt state to the global mesh before the jitted step
         # sees a global batch: under jax.process_count()>1 locally-committed
-        # state + a global array is an incompatible-devices error.
-        state = jax.device_put(state, parallel.replicated_sharding(mesh))
+        # state + a global array is an incompatible-devices error. Uses the
+        # process-local assembly path — a plain device_put would need a
+        # cross-host transfer for host-restored (resume) leaves.
+        state = parallel.replicate_to_mesh(state, mesh)
     run_name = args.run_name or args.experiment or args.preset
     logger = MetricLogger(args.logdir, run_name)
     loaded_history = (

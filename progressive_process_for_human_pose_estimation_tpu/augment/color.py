@@ -13,8 +13,13 @@ import itertools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_PERMS = jnp.asarray(list(itertools.permutations(range(4))), dtype=jnp.int32)
+# Plain numpy at module scope: a jnp array here would initialize the XLA
+# backend at IMPORT time, which breaks jax.distributed.initialize() in
+# multi-host CLI runs (it must run before any backend init). Converted at
+# trace time where used.
+_PERMS = np.asarray(list(itertools.permutations(range(4))), dtype=np.int32)
 
 
 def _rgb_to_grayscale(img):
@@ -101,7 +106,7 @@ def color_jitter(
             img,
         )
 
-    perm = _PERMS[jax.random.randint(kp, (), 0, len(_PERMS))]
+    perm = jnp.asarray(_PERMS)[jax.random.randint(kp, (), 0, len(_PERMS))]
 
     def body(i, im):
         return apply_op(im, perm[i])

@@ -31,9 +31,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# np.arange(0, 0.55, 0.05) — 11 thresholds (train.py:782).
-PCKH_THRESHOLDS = jnp.arange(11, dtype=jnp.float32) * 0.05
+# np.arange(0, 0.55, 0.05) — 11 thresholds (train.py:782). Kept as numpy:
+# a jnp array at module scope would initialize the XLA backend at import
+# time, breaking jax.distributed.initialize() in multi-host CLI runs.
+PCKH_THRESHOLDS = np.arange(11, dtype=np.float32) * np.float32(0.05)
 
 
 class PCKhResult(NamedTuple):

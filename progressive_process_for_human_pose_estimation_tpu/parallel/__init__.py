@@ -8,6 +8,7 @@ from .mesh import (  # noqa: F401
     make_mesh,
     mesh_for_batch,
     mesh_rule,
+    replicate_to_mesh,
     replicated_sharding,
     shard_batch,
 )

@@ -48,6 +48,12 @@ def initialize(
         process_id = int(env_pid)
     if coordinator_address is None and num_processes is None:
         return  # single-process run
+    # Idempotent: a driver that runs several train/eval mains in one
+    # process (e.g. train -> resume) must not re-initialize the runtime.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

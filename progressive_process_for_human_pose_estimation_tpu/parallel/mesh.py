@@ -103,3 +103,22 @@ def shard_batch(batch, mesh: Mesh):
             batch,
         )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Commit a pytree (train state) to the mesh fully replicated.
+
+    Multi-process: every host holds the full value (identical init or an
+    identical checkpoint restore), so the global replicated array is
+    assembled with ``make_array_from_process_local_data`` — a plain
+    ``device_put`` to a multi-host sharding would demand a cross-host
+    device transfer, which CPU/Gloo (and plain ICI-only slices) don't
+    support. Single-process: an ordinary replicated device_put.
+    """
+    sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree,
+        )
+    return jax.device_put(tree, sh)
