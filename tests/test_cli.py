@@ -8,6 +8,7 @@ import pytest
 
 
 class TestTrainCLI:
+    @pytest.mark.slow
     def test_train_then_evaluate(self, tmp_path):
         from cli import evaluate, train
 
@@ -39,6 +40,7 @@ class TestTrainCLI:
         assert curve.shape == (11,)
         assert os.path.exists(tmp_path / "curve.png")
 
+    @pytest.mark.slow
     def test_save_every_skips_intermediate_epochs(self, tmp_path, monkeypatch):
         """--save-every N writes only every Nth epoch plus the final one."""
         from cli import train
@@ -155,6 +157,7 @@ class TestExport:
         import os
         assert os.path.getsize(out) > 1000
 
+    @pytest.mark.slow
     def test_export_batch_bn(self, tmp_path):
         """--experiment hourglass8_skeleton exports a batch-stat-BN graph
         (the try_* test-branch behavior): the artifact's output depends on
@@ -206,6 +209,7 @@ class TestHeadValidation:
 
 
 class TestScanStacksCLI:
+    @pytest.mark.slow
     def test_train_scan_stacks_resume_into_loop(self, tmp_path):
         """--scan-stacks trains, and its checkpoint loads into the unrolled
         form (param trees are identical by construction)."""
@@ -228,6 +232,7 @@ class TestScanStacksCLI:
 
 
 class TestSyntheticSchema:
+    @pytest.mark.slow
     def test_experiment_schema_inherited(self):
         """--dataset synthetic inherits the experiment's keypoint schema
         (classic_baseline is MPII: 16 joints, Gauss/MSE targets)."""
@@ -381,6 +386,7 @@ class TestEvalBNMode:
         assert not np.allclose(np.asarray(out_batch),
                                np.asarray(out_running), atol=1e-3)
 
+    @pytest.mark.slow
     def test_cli_train_then_batch_eval(self, tmp_path):
         """--experiment hourglass8_skeleton resolves eval_bn='batch' end to
         end; --fold refuses batch mode loudly."""
@@ -520,6 +526,7 @@ class TestRefinerWorkflow:
     Reference: /root/reference/only_one_hourgless.py:257-283 (torch),
     model.py:121-143 (Keras original, the only lineage with targets)."""
 
+    @pytest.mark.slow
     def test_refiner_train_then_predict(self, tmp_path):
         from cli import predict, train
 

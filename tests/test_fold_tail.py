@@ -105,6 +105,7 @@ def test_progressive_fold_training_guard():
         ).init(jax.random.PRNGKey(0), x)
 
 
+@pytest.mark.slow
 def test_cli_evaluate_fold_matches():
     """cli.evaluate --fold must print the exact same curve as the unfolded
     eval (same untrained weights, same synthetic split)."""

@@ -20,6 +20,7 @@ def small_flagship(variant="plain", out_channels=8):
 
 
 class TestInt8Path:
+    @pytest.mark.slow
     def test_tracks_bf16_fast_path(self, rng):
         from progressive_process_for_human_pose_estimation_tpu.pallas_kernels.fast_infer import (
             build_fast_apply,
@@ -176,6 +177,7 @@ class TestInt8FusedPallas:
         assert rel < 0.08, rel
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995
 
+    @pytest.mark.slow
     def test_full_model_interpret(self):
         from progressive_process_for_human_pose_estimation_tpu.pallas_kernels.int8_fused import (
             build_int8_pallas_apply,

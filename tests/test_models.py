@@ -115,6 +115,7 @@ class TestRegistry:
 
 
 class TestFusedEval:
+    @pytest.mark.slow
     def test_fused_eval_matches_plain(self):
         """fused_eval swaps the 8²-16² residuals for the Pallas kernel
         (interpret mode on CPU); outputs must match the plain eval path to

@@ -1,6 +1,7 @@
 """skip_nonfinite train-step guard: a NaN batch must not corrupt the state."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,7 @@ class TestNonFiniteGuard:
         )
         assert changed
 
+    @pytest.mark.slow
     def test_without_guard_nan_propagates(self, rng):
         model = ProgressiveHourglass(out_channels=(2, 4, 5), **TINY)
         state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))

@@ -163,6 +163,7 @@ class TestPolygons:
         n_diff = int((ours != golden).sum())
         assert n_diff <= 2, f"{n_diff} pixels diverge from PIL"
 
+    @pytest.mark.slow
     def test_fixed_shapes(self):
         cases = [
             [4, 1, 30, 30, 1, 30],                 # triangle with top tip

@@ -57,6 +57,7 @@ class TestMPIIEndToEnd:
         assert train["head_rects"].shape == (11, 4)
         assert train["keypoints"].shape == (11, 16, 3)
 
+    @pytest.mark.slow
     def test_train_then_evaluate_mpii(self, mpii_fixture, tmp_path):
         from cli import evaluate, train
 
@@ -117,6 +118,7 @@ class TestLSPEndToEnd:
         write_jpegs(img_dir, [f"im{i + 1:04d}.jpg" for i in range(n)])
         return mat, img_dir
 
+    @pytest.mark.slow
     def test_train_then_evaluate_lsp(self, lsp_fixture, tmp_path):
         from cli import evaluate, train
 

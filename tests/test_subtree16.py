@@ -47,7 +47,7 @@ def _ref_subtree(h, fp2, fp1, n_modules=2):
 
 
 def test_subtree16_matches_composition(rng):
-    c, m, b = 64, 32, 2
+    c, m, b = 32, 16, 1
     fp2, fp1 = _fake_fp(rng, c, m), _fake_fp(rng, c, m)
     x = jnp.asarray(rng.normal(0, 1, (b, 16, 16, c)), jnp.float32)
     ref = np.asarray(_ref_subtree(x, fp2, fp1))

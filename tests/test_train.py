@@ -57,6 +57,7 @@ class TestTrainStep:
         assert all(np.isfinite(losses))
         assert int(state.step) == 12
 
+    @pytest.mark.slow
     def test_finite_flag(self, rng):
         model = tiny_model()
         state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
@@ -64,6 +65,7 @@ class TestTrainStep:
         _, metrics = step(state, tiny_batch(rng))
         assert bool(metrics["finite"])
 
+    @pytest.mark.slow
     def test_batch_stats_update(self, rng):
         model = tiny_model()
         state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
@@ -87,6 +89,7 @@ class TestSharded:
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
 
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self, rng):
         model = tiny_model()
         state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((8, 32, 32, 3)))
@@ -118,6 +121,7 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     @pytest.mark.parametrize("donate", [False, True])
+    @pytest.mark.slow
     def test_restore_bookkeeping_stays_on_host(self, rng, tmp_path, donate):
         """epoch/step restore as numpy so resume arithmetic never needs a
         device readback (a D2H of freshly restored buffers can block on the
@@ -153,6 +157,7 @@ class TestCheckpoint:
         np.testing.assert_array_equal(out["b"], np.zeros((4,)))  # mismatch: kept
         np.testing.assert_array_equal(out["d"], np.zeros((1,)))  # absent: kept
 
+    @pytest.mark.slow
     def test_maybe_resume_fine_tune(self, rng, tmp_path):
         model = tiny_model()
         state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
@@ -184,6 +189,7 @@ class TestRemat:
     gradients (to fp tolerance), and BN batch-stat updates."""
 
     @pytest.mark.parametrize("family", ["recursive", "progressive"])
+    @pytest.mark.slow
     def test_grads_match_no_remat(self, rng, family):
         from progressive_process_for_human_pose_estimation_tpu.models import (
             StackedHourglass,
@@ -217,6 +223,7 @@ class TestRemat:
 
 
 class TestAsyncCheckpoint:
+    @pytest.mark.slow
     def test_async_save_roundtrip(self, rng, tmp_path):
         from progressive_process_for_human_pose_estimation_tpu.train import (
             load_loss_history,
@@ -250,6 +257,7 @@ class TestDonationGate:
 
 
 class TestLogCadence:
+    @pytest.mark.slow
     def test_fit_epoch_logs_on_global_step(self, rng):
         """The log/readback cadence is measured on the GLOBAL step: at 2
         steps/epoch with log_every=4 the callback fires every other epoch,

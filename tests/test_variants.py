@@ -110,6 +110,7 @@ class TestDenseCRFExact:
         exact = np.asarray(dense_crf_exact(img, probs, n_iters=5))
         np.testing.assert_allclose(full, exact, rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_truncation_error_bounded(self, rng):
         """The QUANTIFIED approximation gap at the window's default radius
         (4): the windowed filter drops the long-range component of the
