@@ -113,8 +113,11 @@ def subtree16_pallas(x: jax.Array, fp2: dict, fp1: dict,
             return v
 
         def pool(v):
-            rows = jnp.maximum(v[0::2], v[1::2])
-            return jnp.maximum(rows[:, 0::2], rows[:, 1::2])
+            # reshape+reduce instead of strided slices: Mosaic lowers 3-D
+            # strided slicing to a (unsupported >2D) gather.
+            hh, ww, cc = v.shape
+            rows = jnp.max(v.reshape(hh // 2, 2, ww, cc), axis=1)
+            return jnp.max(rows.reshape(hh // 2, ww // 2, 2, cc), axis=2)
 
         def upsample(v, u_ref):
             """(H, W, C) -> (2H, 2W, C) bilinear align-corners via matmuls."""
