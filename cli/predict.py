@@ -24,11 +24,20 @@ from .common import (
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_model_args(p)
-    p.add_argument("image", nargs="?", default=None,
-                   help="path to an input photo (omit for a synthetic image)")
+    p.add_argument("image", nargs="*", default=None,
+                   help="path(s) to input photo(s) (omit for a synthetic "
+                        "image). With several images the model, checkpoint "
+                        "and compiled computation are shared across all of "
+                        "them — the reference's test branch loops a whole "
+                        "directory this way (/root/reference/train.py:1288)")
     p.add_argument("--load", default=None, help="checkpoint to use")
     p.add_argument("--input-size", type=int, default=256)
-    p.add_argument("--out", default="prediction.png")
+    p.add_argument("--out", default="prediction.png",
+                   help="output figure path; with several input images, a "
+                        "DIRECTORY that receives one <stem>.png per input")
+    p.add_argument("--out-suffix", default="",
+                   help="suffix appended to each output stem in multi-image "
+                        "mode (e.g. '_crf')")
     p.add_argument("--threshold", type=float, default=1.0,
                    help="peak confidence threshold (reference `threshold`)")
     p.add_argument("--mask-gate", action="store_true",
@@ -106,28 +115,41 @@ def main(argv=None):
     )
 
     size = args.input_size
-    if args.image:
-        from PIL import Image
 
-        img = np.asarray(
-            Image.open(args.image).convert("RGB").resize((size, size)), np.float32
-        ) / 255.0
-    else:
+    def load_image(path):
+        if path:
+            from PIL import Image
+
+            return np.asarray(
+                Image.open(path).convert("RGB").resize((size, size)),
+                np.float32,
+            ) / 255.0
         from progressive_process_for_human_pose_estimation_tpu.data.synthetic import (
             synthetic_coco_manifest,
             synthetic_image,
         )
 
         m = synthetic_coco_manifest(n_images=1, img_size=size, seed=1)
-        img = synthetic_image(m["keypoints"][0], img_size=size, seed=1)
+        return synthetic_image(m["keypoints"][0], img_size=size, seed=1)
+
+    # Model/checkpoint/compile are per-INVOCATION, not per-image: everything
+    # below this point is shared across the image list, so a directory sweep
+    # pays one restore + one jit trace total.
+    import os
+
+    images = list(args.image) if args.image else [None]
+    multi = len(images) > 1 or (images[0] is not None
+                                and os.path.isdir(args.out))
+    if multi:
+        os.makedirs(args.out, exist_ok=True)
 
     model, apply_fn, batch_bn = build_eval_model_from_args(args)
-    x = jnp.asarray(img)[None]
-    state = create_train_state(model, jax.random.PRNGKey(0), x)
+    x0 = jnp.zeros((1, size, size, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x0)
     if args.load:
         state = restore_checkpoint(args.load, state)
 
-    gate = None
+    mask_state = mask_apply = None
     if args.mask_gate:
         # generateMask-gated composition (/root/reference/train.py:1020-1038):
         # mask logits at /4 -> nearest x4 (F.interpolate default) -> argmax
@@ -146,121 +168,150 @@ def main(argv=None):
         # out, train.py:990/997), so its mode is ambiguous there; keeping
         # both nets in lockstep is the one consistent reading.
         masknet, mask_apply, _ = build_eval_model_from_args(margs)
-        mstate = create_train_state(masknet, jax.random.PRNGKey(0), x)
+        mask_state = create_train_state(masknet, jax.random.PRNGKey(0), x0)
         if args.mask_load:
-            mstate = restore_checkpoint(args.mask_load, mstate)
-        mask = mask_apply(
-            {"params": mstate.params, "batch_stats": mstate.batch_stats}, x
-        )[0]
-        gate = jnp.argmax(mask.astype(jnp.float32), axis=-1)  # (1, S/4, S/4)
-        gate = jnp.repeat(jnp.repeat(gate, 4, axis=1), 4, axis=2)
-        x = x * gate[..., None].astype(x.dtype)
+            mask_state = restore_checkpoint(args.mask_load, mask_state)
 
-    outs = apply_fn({"params": state.params, "batch_stats": state.batch_stats}, x)
-    raw_final = outs[-1].astype(jnp.float32)
+    refiner_cache = {}
 
-    if args.refine:
-        # RefinerD pass (creatModelD, only_one_hourgless.py:257-283): input
-        # = concat[final-stage heatmaps, /4-downsampled image]
-        # (model.py:122's nOutChannels+3), output = refined heatmaps that
-        # replace the final stage for decode.
-        import copy
+    def predict_one(img):
+        x = jnp.asarray(img)[None]
+        gate = None
+        if args.mask_gate:
+            mask = mask_apply(
+                {"params": mask_state.params,
+                 "batch_stats": mask_state.batch_stats}, x
+            )[0]
+            gate = jnp.argmax(mask.astype(jnp.float32), axis=-1)  # (1,S/4,S/4)
+            gate = jnp.repeat(jnp.repeat(gate, 4, axis=1), 4, axis=2)
+            x = x * gate[..., None].astype(x.dtype)
 
-        rargs = copy.copy(args)
-        rargs.preset = "refiner"
-        rargs.out_channels = args.refine_out_channels or raw_final.shape[-1]
-        refiner, refine_apply, _ = build_eval_model_from_args(rargs)
-        h, w = raw_final.shape[1], raw_final.shape[2]
-        img_small = jax.image.resize(x.astype(jnp.float32), (1, h, w, 3),
-                                     "bilinear")
-        rx = jnp.concatenate([raw_final, img_small], axis=-1)
-        rstate = create_train_state(refiner, jax.random.PRNGKey(0), rx)
-        if args.refine_load:
-            rstate = restore_checkpoint(args.refine_load, rstate)
-        refined = refine_apply(
-            {"params": rstate.params, "batch_stats": rstate.batch_stats}, rx)
-        refined = (refined[-1] if isinstance(refined, (list, tuple))
-                   else refined).astype(jnp.float32)
-        outs = list(outs[:-1]) + [refined]
-        raw_final = refined
+        outs = apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats}, x)
+        raw_final = outs[-1].astype(jnp.float32)
 
-    outs = [jax.nn.softmax(o.astype(jnp.float32), axis=-1) for o in outs]
+        if args.refine:
+            # RefinerD pass (creatModelD, only_one_hourgless.py:257-283):
+            # input = concat[final-stage heatmaps, /4-downsampled image]
+            # (model.py:122's nOutChannels+3), output = refined heatmaps that
+            # replace the final stage for decode.
+            import copy
 
-    if args.crf:
-        # Mean-field refinement at heatmap resolution against the (resized)
-        # input image, then decode from the refined probabilities.
-        from progressive_process_for_human_pose_estimation_tpu.eval import (
-            dense_crf,
-            dense_crf_exact,
-        )
+            h, w = raw_final.shape[1], raw_final.shape[2]
+            img_small = jax.image.resize(x.astype(jnp.float32), (1, h, w, 3),
+                                         "bilinear")
+            rx = jnp.concatenate([raw_final, img_small], axis=-1)
+            if "state" not in refiner_cache:
+                rargs = copy.copy(args)
+                rargs.preset = "refiner"
+                rargs.out_channels = (args.refine_out_channels
+                                      or raw_final.shape[-1])
+                refiner, refine_apply, _ = build_eval_model_from_args(rargs)
+                rstate = create_train_state(refiner, jax.random.PRNGKey(0), rx)
+                if args.refine_load:
+                    rstate = restore_checkpoint(args.refine_load, rstate)
+                refiner_cache["state"] = rstate
+                refiner_cache["apply"] = refine_apply
+            rstate = refiner_cache["state"]
+            refined = refiner_cache["apply"](
+                {"params": rstate.params, "batch_stats": rstate.batch_stats},
+                rx)
+            refined = (refined[-1] if isinstance(refined, (list, tuple))
+                       else refined).astype(jnp.float32)
+            outs = list(outs[:-1]) + [refined]
+            raw_final = refined
 
-        hm = outs[-1][0]
-        h, w = hm.shape[0], hm.shape[1]
-        img_small = jax.image.resize(
-            jnp.asarray(img, jnp.float32), (h, w, 3), "bilinear"
-        )
-        if args.crf_window:
-            refined = dense_crf(img_small, hm, n_iters=args.crf_iters)
+        outs = [jax.nn.softmax(o.astype(jnp.float32), axis=-1) for o in outs]
+        return x, gate, outs, raw_final
+
+    for path in images:
+        img = load_image(path)
+        x, gate, outs, raw_final = predict_one(img)
+
+        if args.crf:
+            # Mean-field refinement at heatmap resolution against the
+            # (resized) input image, then decode from the refined
+            # probabilities.
+            from progressive_process_for_human_pose_estimation_tpu.eval import (
+                dense_crf,
+                dense_crf_exact,
+            )
+
+            hm = outs[-1][0]
+            h, w = hm.shape[0], hm.shape[1]
+            img_small = jax.image.resize(
+                jnp.asarray(img, jnp.float32), (h, w, 3), "bilinear"
+            )
+            if args.crf_window:
+                refined = dense_crf(img_small, hm, n_iters=args.crf_iters)
+            else:
+                refined = dense_crf_exact(img_small, hm,
+                                          n_iters=args.crf_iters)
+            outs[-1] = refined[None]
+            threshold = 0.0 if args.threshold == 1.0 else args.threshold
+            decode_maps = outs[-1]
         else:
-            refined = dense_crf_exact(img_small, hm, n_iters=args.crf_iters)
-        outs[-1] = refined[None]
-        threshold = 0.0 if args.threshold == 1.0 else args.threshold
-        decode_maps = outs[-1]
-    else:
-        # Threshold on the RAW final maps (the reference thresholds
-        # result[...] pre-softmax, train.py:1060-1068, default threshold=1 —
-        # softmaxed values never exceed 1, so thresholding them would reject
-        # every peak).
-        threshold, decode_maps = args.threshold, raw_final
-    scale = size // raw_final.shape[1]
-    if args.decode == "argmax":
-        coords, valid = argmax_decode(decode_maps, threshold=threshold,
-                                      scale=scale)
-        coords, valid = np.asarray(coords[0]), np.asarray(valid[0])
-        points = [(px, py) for (px, py), ok in zip(coords, valid) if ok]
-    elif args.decode == "normalized-peak":
-        from progressive_process_for_human_pose_estimation_tpu.eval import (
-            normalized_peak_decode,
-        )
+            # Threshold on the RAW final maps (the reference thresholds
+            # result[...] pre-softmax, train.py:1060-1068, default
+            # threshold=1 — softmaxed values never exceed 1, so thresholding
+            # them would reject every peak).
+            threshold, decode_maps = args.threshold, raw_final
+        scale = size // raw_final.shape[1]
+        if args.decode == "argmax":
+            coords, valid = argmax_decode(decode_maps, threshold=threshold,
+                                          scale=scale)
+            coords, valid = np.asarray(coords[0]), np.asarray(valid[0])
+            points = [(px, py) for (px, py), ok in zip(coords, valid) if ok]
+        elif args.decode == "normalized-peak":
+            from progressive_process_for_human_pose_estimation_tpu.eval import (
+                normalized_peak_decode,
+            )
 
-        # Min-max normalization makes the raw/prob scale irrelevant; the
-        # reference's threshold is 0.7 (try_different_stack.py:487).
-        thr = 0.7 if args.threshold == 1.0 else args.threshold
-        mask, _ = normalized_peak_decode(decode_maps, threshold=thr)
-        ys, xs, _cs = np.where(np.asarray(mask[0]))
-        points = list(zip(xs * scale, ys * scale))
-    else:  # nms: ALL local maxima above threshold (multi-peak decode)
-        from progressive_process_for_human_pose_estimation_tpu.eval import (
-            local_max_nms,
-        )
+            # Min-max normalization makes the raw/prob scale irrelevant; the
+            # reference's threshold is 0.7 (try_different_stack.py:487).
+            thr = 0.7 if args.threshold == 1.0 else args.threshold
+            mask, _ = normalized_peak_decode(decode_maps, threshold=thr)
+            ys, xs, _cs = np.where(np.asarray(mask[0]))
+            points = list(zip(xs * scale, ys * scale))
+        else:  # nms: ALL local maxima above threshold (multi-peak decode)
+            from progressive_process_for_human_pose_estimation_tpu.eval import (
+                local_max_nms,
+            )
 
-        nms = np.asarray(local_max_nms(decode_maps)[0])
-        above = np.asarray(decode_maps[0]) > threshold
-        ys, xs, _cs = np.where(nms & above)
-        points = list(zip(xs * scale, ys * scale))
+            nms = np.asarray(local_max_nms(decode_maps)[0])
+            above = np.asarray(decode_maps[0]) > threshold
+            ys, xs, _cs = np.where(nms & above)
+            points = list(zip(xs * scale, ys * scale))
 
-    n_panels = 1 + (1 if gate is not None else 0) + len(outs) + 1
-    fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 4))
-    all_axes = list(axes)
-    axes[0].imshow(img)
-    axes[0].set_title("input")
-    if gate is not None:
-        axes[1].imshow(np.asarray(x[0], np.float32))
-        axes[1].set_title("mask-gated input")
-        axes = axes[1:]
-    titles = ["mask", "skeleton", "keypoints"]
-    for i, o in enumerate(outs):
-        cls = np.argmax(np.asarray(o[0]), axis=-1)
-        axes[1 + i].imshow(colorize_class_map(cls, o.shape[-1]))
-        axes[1 + i].set_title(titles[i] if i < len(titles) else f"stage {i}")
-    axes[-1].imshow(img)
-    for px, py in points:
-        axes[-1].plot(px, py, "o", markersize=4)
-    axes[-1].set_title(f"decoded keypoints ({args.decode})")
-    for ax in all_axes:
-        ax.axis("off")
-    fig.savefig(args.out, bbox_inches="tight")
-    print(f"wrote {args.out} ({len(points)} peaks above threshold)")
+        n_panels = 1 + (1 if gate is not None else 0) + len(outs) + 1
+        fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 4))
+        all_axes = list(axes)
+        axes[0].imshow(img)
+        axes[0].set_title("input")
+        if gate is not None:
+            axes[1].imshow(np.asarray(x[0], np.float32))
+            axes[1].set_title("mask-gated input")
+            axes = axes[1:]
+        titles = ["mask", "skeleton", "keypoints"]
+        for i, o in enumerate(outs):
+            cls = np.argmax(np.asarray(o[0]), axis=-1)
+            axes[1 + i].imshow(colorize_class_map(cls, o.shape[-1]))
+            axes[1 + i].set_title(titles[i] if i < len(titles)
+                                  else f"stage {i}")
+        axes[-1].imshow(img)
+        for px, py in points:
+            axes[-1].plot(px, py, "o", markersize=4)
+        axes[-1].set_title(f"decoded keypoints ({args.decode})")
+        for ax in all_axes:
+            ax.axis("off")
+        if multi:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out_path = os.path.join(args.out, stem + args.out_suffix + ".png")
+        else:
+            out_path = args.out
+        fig.savefig(out_path, bbox_inches="tight")
+        plt.close(fig)
+        print(f"wrote {out_path} ({len(points)} peaks above threshold)")
 
 
 if __name__ == "__main__":
