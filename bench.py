@@ -379,10 +379,12 @@ def subtree_bench():
 def main(fused_eval=False, fold_tail=False):
     from progressive_process_for_human_pose_estimation_tpu.models import build_model
 
-    # Batch sweep on this chip: 8 -> 1270, 16 -> 1260, 32 -> 1098, 64 -> 986,
-    # 128 -> 1023, 256 -> 969 img/s — smaller batches keep the 64x64x256
-    # activations closer to on-chip memory, so the headline runs at batch 8.
-    batch = 8
+    # Batch sweep on this chip (r5, fold-tail graph, 2 interleaved reps,
+    # bench.py --batch-sweep): 8 -> 1545, 12 -> 718 (tiling pathology),
+    # 16 -> 1576, 24 -> 1500, 32 -> 1423 img/s. Batch 16 is the repeatable
+    # winner (+2% over 8; BASELINE's throughput row pins no batch), so the
+    # headline runs at batch 16.
+    batch = 16
     model = build_model("hourglass8_skeleton", use_running_average=True,
                         fused_eval=fused_eval, fold_tail=fold_tail)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
