@@ -562,3 +562,48 @@ class TestRefinerWorkflow:
             + common
         )
         assert os.path.exists(out)
+
+
+class TestMultiImagePredict:
+    """cli.predict's multi-image mode (round 5): several positional images
+    share one model build / checkpoint restore / jit trace, --out becomes a
+    directory of <stem><suffix>.png files — the workflow the reference's
+    test branch runs by looping test_img/ (/root/reference/train.py:1288)."""
+
+    _flags = ["--preset", "progressive_coco", "--features", "16",
+              "--hourglass-depth", "1", "--dtype", "float32",
+              "--input-size", "64"]
+
+    def _write_inputs(self, tmp_path, n):
+        from PIL import Image
+
+        paths = []
+        rng = np.random.default_rng(3)
+        for i in range(n):
+            p = str(tmp_path / f"photo{i}.jpg")
+            Image.fromarray(
+                (rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(p)
+            paths.append(p)
+        return paths
+
+    def test_multi_image_shared_session(self, tmp_path):
+        from cli import predict
+
+        paths = self._write_inputs(tmp_path, 2)
+        out_dir = str(tmp_path / "preds")
+        predict.main(paths + self._flags
+                     + ["--out", out_dir, "--out-suffix", "_tag"])
+        for i in range(2):
+            assert os.path.exists(
+                os.path.join(out_dir, f"photo{i}_tag.png"))
+
+    def test_single_image_into_directory(self, tmp_path):
+        """One image + an existing directory --out still lands a per-stem
+        file (the isdir guard), instead of trying to overwrite the dir."""
+        from cli import predict
+
+        (path,) = self._write_inputs(tmp_path, 1)
+        out_dir = str(tmp_path / "preds2")
+        os.makedirs(out_dir)
+        predict.main([path] + self._flags + ["--out", out_dir])
+        assert os.path.exists(os.path.join(out_dir, "photo0.png"))
