@@ -491,11 +491,26 @@ def summarize(args):
             fam_summary["jax_seed_mean"] = float(np.mean(jax_runs))
             fam_summary["abs_mean_gap_pts"] = float(mean_gap)
             fam_summary["criterion_<=0.5pts"] = bool(mean_gap <= 0.5)
+            # Two-sample noise bound on the mean-gap estimator: with n seeds
+            # per side, SE(mean) = s/sqrt(n) (ddof=1) and the difference's
+            # ~95% bound is 2*sqrt(SE_t^2 + SE_j^2). A mean gap inside this
+            # bound is indistinguishable from seed variance at the measured
+            # spread — the round-4 control logic (judge the gap against the
+            # noise band) applied to multi-seed samples.
+            if len(torch_runs) > 1 and len(jax_runs) > 1:
+                se_t = np.std(torch_runs, ddof=1) / np.sqrt(len(torch_runs))
+                se_j = np.std(jax_runs, ddof=1) / np.sqrt(len(jax_runs))
+                bound = 2.0 * float(np.hypot(se_t, se_j))
+                fam_summary["mean_gap_2se_bound_pts"] = bound
+                fam_summary["gap_within_2se"] = bool(mean_gap <= bound)
         if band is not None:
             fam_summary["torch_seed_band_pts"] = band
             if t_a is not None and j_a is not None:
                 fam_summary["gap_s0_<=_seed_band"] = abs(t_a - j_a) <= max(
                     band, 1e-9)
+        if len(jax_runs) > 1:
+            fam_summary["jax_seed_band_pts"] = float(
+                max(jax_runs) - min(jax_runs))
         summary[family] = fam_summary
     fig.tight_layout()
     fig.savefig(os.path.join(args.out_dir, "convergence.png"), dpi=120)
